@@ -1,0 +1,142 @@
+"""Keygen: build VerifyingKey / ProvingKey for a compiled circuit.
+
+Equivalent of halo2's keygen_vk/keygen_pk (never invoked in the reference
+repo's tests — SURVEY §0.1 — but required by its implied production pipeline
+SURVEY §3.4 and by the on-chain verifier's vk memory, contract.sol:306-307).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fields.bn254 import R, FR_DELTA, to_bytes_be
+from ..ops.keccak import keccak256
+from .circuit import Assignment, Circuit, Column, ConstraintSystem
+from .domain import Domain, make_domain
+from .polyops import lagrange_to_coeff
+from .srs import SRS
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    n: int
+    domain: Domain
+    cs: ConstraintSystem
+    fixed_commitments: list
+    permutation_commitments: list  # sigma commitments, permutation-column order
+    transcript_repr: int
+    num_instance_rows: list[int]  # declared instance length per instance column
+
+    def blinding_factors(self) -> int:
+        return self.cs.blinding_factors()
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_values: list[np.ndarray]   # lagrange, python ints
+    fixed_polys: list[list[int]]     # coefficient form
+    sigma_values: list[list[int]]    # lagrange
+    sigma_polys: list[list[int]]     # coefficient form
+    config: object                   # circuit config (column handles)
+
+
+def build_permutation_sigmas(cs: ConstraintSystem, n: int,
+                             copies) -> list[list[int]]:
+    """Construct sigma column values. Each cell (c, i) carries the label
+    delta^c * omega^i; copies merge cycles via the classic swap trick, and
+    sigma_c[i] = label of the cell that (c,i) maps to."""
+    cols = cs.permutation_columns
+    ncols = len(cols)
+    col_pos = {c: j for j, c in enumerate(cols)}
+    # mapping[(j, i)] -> (j', i'), start = identity
+    mapping = np.empty((ncols, n, 2), dtype=np.int64)
+    for j in range(ncols):
+        mapping[j, :, 0] = j
+        mapping[j, :, 1] = np.arange(n)
+    for (ca, ra), (cb, rb) in copies:
+        ja, jb = col_pos[ca], col_pos[cb]
+        tmp = mapping[ja, ra].copy()
+        mapping[ja, ra] = mapping[jb, rb]
+        mapping[jb, rb] = tmp
+
+    from .domain import make_domain  # local import to avoid cycle confusion
+    # labels
+    omega_pows = [1] * n
+    from ..fields.bn254 import fr_root_of_unity
+    omega = fr_root_of_unity(n.bit_length() - 1)
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % R
+    deltas = [1] * ncols
+    for j in range(1, ncols):
+        deltas[j] = deltas[j - 1] * FR_DELTA % R
+
+    sigmas = []
+    for j in range(ncols):
+        col = [0] * n
+        mj = mapping[j]
+        for i in range(n):
+            jj, ii = int(mj[i, 0]), int(mj[i, 1])
+            col[i] = deltas[jj] * omega_pows[ii] % R
+        sigmas.append(col)
+    return sigmas
+
+
+def keygen(circuit: Circuit, k: int, srs: SRS):
+    cs = ConstraintSystem()
+    config = circuit.configure(cs)
+    n = 1 << k
+    assert srs.n >= n, "SRS too small for circuit"
+    assert cs.usable_rows(n) >= 1
+
+    domain = make_domain(k, cs.degree())
+
+    # run synthesis once to extract fixed values + copy constraints
+    asn = Assignment(cs, n)
+    circuit.synthesize(config, asn)
+
+    fixed_values = [col.copy() for col in asn.fixed]
+    fixed_polys = [lagrange_to_coeff([int(v) for v in col], domain.omega)
+                   for col in fixed_values]
+    fixed_commitments = [srs.commit_lagrange([int(v) for v in col])
+                         for col in fixed_values]
+
+    sigma_values = build_permutation_sigmas(cs, n, asn.copies)
+    sigma_polys = [lagrange_to_coeff(col, domain.omega) for col in sigma_values]
+    sigma_commitments = [srs.commit_lagrange(col) for col in sigma_values]
+
+    instances = circuit.instances()
+    num_instance_rows = [len(col) for col in instances]
+
+    # vk digest: canonical serialization -> keccak; role of halo2's
+    # transcript_repr (absorbed first, contract.sol:227-228)
+    h = bytearray()
+    h += k.to_bytes(4, "big")
+    h += cs.num_advice.to_bytes(4, "big")
+    h += cs.num_fixed.to_bytes(4, "big")
+    h += cs.num_instance.to_bytes(4, "big")
+    for c in fixed_commitments + sigma_commitments:
+        if c is None:
+            h += b"\x00" * 64
+        else:
+            h += to_bytes_be(c[0]) + to_bytes_be(c[1])
+    transcript_repr = int.from_bytes(keccak256(bytes(h)), "big") % R
+
+    vk = VerifyingKey(
+        k=k, n=n, domain=domain, cs=cs,
+        fixed_commitments=fixed_commitments,
+        permutation_commitments=sigma_commitments,
+        transcript_repr=transcript_repr,
+        num_instance_rows=num_instance_rows,
+    )
+    pk = ProvingKey(
+        vk=vk,
+        fixed_values=fixed_values,
+        fixed_polys=fixed_polys,
+        sigma_values=sigma_values,
+        sigma_polys=sigma_polys,
+        config=config,
+    )
+    return pk, vk
