@@ -24,11 +24,14 @@ class KeccakTranscript:
         self._absorbed += 1
 
     def common_point(self, p) -> None:
-        """p: affine (x, y) over Fq; identity is not absorbable (halo2 /
-        the contract reject it via the on-curve check, contract.sol:77-87)."""
-        if p is None:
-            raise ValueError("cannot absorb the identity point")
-        x, y = p
+        """p: affine (x, y) over Fq, or None (identity) encoded as (0, 0).
+
+        The EVM contract rejects (0,0) via its on-curve check
+        (contract.sol:77-87); identity only arises for degenerate
+        constraint-free circuits (e.g. the reference's timestamp circuit,
+        whose gates are all commented out), which the contract was never
+        generated for.  Our generic verifier accepts it there."""
+        x, y = p if p is not None else (0, 0)
         self.buf += to_bytes_be(x)
         self.buf += to_bytes_be(y)
         self._absorbed += 1
@@ -55,7 +58,7 @@ class ProofWriter(KeccakTranscript):
 
     def write_point(self, p) -> None:
         self.common_point(p)
-        x, y = p
+        x, y = p if p is not None else (0, 0)
         self.proof += to_bytes_be(x)
         self.proof += to_bytes_be(y)
 
@@ -76,7 +79,7 @@ class ProofReader(KeccakTranscript):
         x = int.from_bytes(self.proof[self.off:self.off + 32], "big")
         y = int.from_bytes(self.proof[self.off + 32:self.off + 64], "big")
         self.off += 64
-        p = (x, y)
+        p = None if (x, y) == (0, 0) else (x, y)
         self.common_point(p)
         return p
 
