@@ -1,0 +1,297 @@
+"""Vectorized field arithmetic for JAX/TPU: 16-bit-limb Montgomery form.
+
+TPU-first replacement for halo2curves' 4x64 Montgomery arithmetic (SURVEY
+N1): TPU vector lanes have no 64-bit integer multiply, so field elements are
+(..., 16) uint32 arrays holding 16-bit limbs (little-endian), values kept in
+Montgomery form (a * 2^256 mod p).  16x16-bit products fit exactly in a
+uint32 lane, and lazy-carry column sums stay under 2^22, so the whole CIOS
+pipeline runs in native uint32 VPU ops.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .bn254 import Q, R as FR_MOD
+
+# Persistent XLA compilation cache: every kernel in the framework is
+# shape-stable across runs, so warm processes skip the first-compile cost.
+_CACHE_DIR = os.environ.get(
+    "HALO2TPU_JAX_CACHE",
+    os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "jax"))
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
+NLIMB = 16
+LIMB_BITS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_limbs(v: int) -> np.ndarray:
+    return np.array([(v >> (LIMB_BITS * i)) & MASK for i in range(NLIMB)],
+                    dtype=np.uint32)
+
+
+def ints_to_limbs(vals) -> np.ndarray:
+    """list/array of python ints -> (n, 16) uint32 (via the bytes fast path:
+    one to_bytes call per element instead of 16 shift/mask ops)."""
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NLIMB)
+    return u16.astype(np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs)
+    return sum(int(limbs[i]) << (LIMB_BITS * i) for i in range(NLIMB))
+
+
+def limbs_to_ints(arr) -> list[int]:
+    arr = np.ascontiguousarray(np.asarray(arr).reshape(-1, NLIMB).astype("<u2"))
+    raw = arr.tobytes()
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(arr.shape[0])]
+
+
+class FieldSpec:
+    """Per-modulus constants, precomputed host-side.
+
+    Hashable by modulus so it can be a static jit argument (its device
+    arrays bake into the compiled program as constants)."""
+
+    def __hash__(self):
+        return hash(self.p)
+
+    def __eq__(self, other):
+        return isinstance(other, FieldSpec) and self.p == other.p
+
+    def __init__(self, p: int):
+        self.p = p
+        self.r = (1 << 256) % p          # Montgomery R
+        self.r2 = self.r * self.r % p
+        # -p^-1 mod 2^16
+        self.p_inv_neg = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.p_limbs = jnp.asarray(int_to_limbs(p))
+        self.r2_limbs = jnp.asarray(int_to_limbs(self.r2))
+        self.one_plain = jnp.asarray(int_to_limbs(1))       # 1 (not Montgomery)
+        self.one_mont = jnp.asarray(int_to_limbs(self.r))   # 1 in Montgomery form
+        self.zero = jnp.zeros(NLIMB, dtype=jnp.uint32)
+
+    # -- conversions -------------------------------------------------------
+    def to_mont(self, a):
+        return _jit_to_mont(self, a)
+
+    def from_mont(self, a):
+        return _jit_from_mont(self, a)
+
+    def encode(self, vals) -> jax.Array:
+        """python ints -> device array in Montgomery form."""
+        plain = jnp.asarray(ints_to_limbs([v % self.p for v in vals]))
+        return self.to_mont(plain)
+
+    def decode(self, arr) -> list[int]:
+        plain = np.asarray(jax.device_get(self.from_mont(arr)))
+        return limbs_to_ints(plain)
+
+
+FQ = FieldSpec(Q)
+FR = FieldSpec(FR_MOD)
+
+
+def _carry_propagate_33(t):
+    """Resolve a 33-column lazy accumulator (values < 2^22) into 17 limbs
+    starting at column 16 (the post-reduction window)."""
+    out = []
+    carry = t[..., 16] * jnp.uint32(0)
+    for k in range(16, 33):
+        cur = t[..., k] + carry
+        out.append(cur & MASK)
+        carry = cur >> LIMB_BITS
+    return jnp.stack(out, axis=-1), carry
+
+
+def _cond_sub_p(spec: FieldSpec, limbs17):
+    """limbs17: (..., 17) value in [0, 2p). Return canonical (..., 16)."""
+    # r - p via two's complement: d = c + r_i + (0xffff - p_i), c0 = 1
+    p = spec.p_limbs
+    c = jnp.ones_like(limbs17[..., 0])
+    diffs = []
+    for i in range(NLIMB):
+        d = c + limbs17[..., i] + (MASK - p[i])
+        diffs.append(d & MASK)
+        c = d >> LIMB_BITS
+    # 17th limb participates: value < 2p < 2^257 so limb16 in {0,1}
+    d16 = c + limbs17[..., 16] + MASK  # (MASK - 0) for p's 17th limb=0... p16=0
+    borrow_free = (d16 >> LIMB_BITS) > 0  # carry out => r >= p
+    sub = jnp.stack(diffs, axis=-1)
+    return jnp.where(borrow_free[..., None], sub, limbs17[..., :16])
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product: a*b*R^-1 mod p.  a, b: (..., 16) uint32."""
+    # outer products: (..., 16, 16), each 16x16->32 bit exact
+    prod = a[..., :, None] * b[..., None, :]
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    batch = a.shape[:-1]
+    t = jnp.zeros(batch + (33,), dtype=jnp.uint32)
+    for i in range(NLIMB):
+        t = t.at[..., i:i + NLIMB].add(lo[..., i, :])
+        t = t.at[..., i + 1:i + NLIMB + 1].add(hi[..., i, :])
+    # interleaved Montgomery reduction (16 steps)
+    p = spec.p_limbs
+    p_inv = jnp.uint32(spec.p_inv_neg)
+    carry = jnp.zeros(batch, dtype=jnp.uint32)
+    for i in range(NLIMB):
+        cur = t[..., i] + carry
+        m = (cur * p_inv) & MASK
+        mp = m[..., None] * p  # (..., 16) exact 32-bit
+        mp_lo = mp & MASK
+        mp_hi = mp >> LIMB_BITS
+        cur = cur + mp_lo[..., 0]
+        carry = cur >> LIMB_BITS
+        t = t.at[..., i + 1:i + NLIMB].add(mp_lo[..., 1:])
+        t = t.at[..., i + 1:i + NLIMB + 1].add(mp_hi)
+    t = t.at[..., 16].add(carry)
+    limbs17, last_c = _carry_propagate_33(t)
+    return _cond_sub_p(spec, limbs17)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+@partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a, b):
+    s = a + b  # < 2^17 per limb
+    out = []
+    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for i in range(NLIMB):
+        cur = s[..., i] + carry
+        out.append(cur & MASK)
+        carry = cur >> LIMB_BITS
+    limbs17 = jnp.stack(out + [carry], axis=-1)
+    return _cond_sub_p(spec, limbs17)
+
+
+@partial(jax.jit, static_argnums=0)
+def sub(spec: FieldSpec, a, b):
+    """a - b mod p, inputs canonical (< p)."""
+    # a + p - b via two's complement chain
+    p = spec.p_limbs
+    c = jnp.ones_like(a[..., 0])
+    out = []
+    for i in range(NLIMB):
+        d = c + a[..., i] + p[i] + (MASK - b[..., i])
+        out.append(d & MASK)
+        c = d >> LIMB_BITS
+    # value a + p - b lies in (0, 2p) < 2^256, so the final carry c is exactly
+    # the +2^256 two's-complement artifact: drop it, 17th limb is 0
+    limbs17 = jnp.stack(out + [jnp.zeros_like(c)], axis=-1)
+    return _cond_sub_p(spec, limbs17)
+
+
+@partial(jax.jit, static_argnums=0)
+def neg(spec: FieldSpec, a):
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(mask, a, b):
+    """mask (...,) bool: where(mask, a, b) over limb arrays."""
+    return jnp.where(mask[..., None], a, b)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def mont_pow(spec: FieldSpec, a, e: int):
+    """a^e for a python-int exponent (fixed at trace time).
+
+    Compiled as a fori_loop over the exponent bits (a constant bit vector)
+    rather than an unrolled chain — a 254-bit exponent unrolled is a ~40k-op
+    XLA graph that takes minutes to compile; the loop body is ~200 ops."""
+    if e == 0:
+        return jnp.broadcast_to(spec.one_mont, a.shape)
+    nbits = e.bit_length()
+    if nbits <= 16:  # small exponents: unrolled is cheaper at runtime
+        result = jnp.broadcast_to(spec.one_mont, a.shape)
+        base = a
+        while e:
+            if e & 1:
+                result = mont_mul(spec, result, base)
+            base = mont_sqr(spec, base)
+            e >>= 1
+        return result
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+    def body(i, carry):
+        result, base = carry
+        result = select(bits[i] == 1, mont_mul(spec, result, base), result)
+        base = mont_sqr(spec, base)
+        return (result, base)
+
+    result = jnp.broadcast_to(spec.one_mont, a.shape)
+    result, _ = jax.lax.fori_loop(0, nbits, body, (result, a))
+    return result
+
+
+@partial(jax.jit, static_argnums=0)
+def inv(spec: FieldSpec, a):
+    """Fermat inversion a^(p-2); a must be nonzero."""
+    return mont_pow(spec, a, spec.p - 2)
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_to_mont(spec, a):
+    return mont_mul(spec, a, jnp.broadcast_to(spec.r2_limbs, a.shape))
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_from_mont(spec, a):
+    return mont_mul(spec, a, jnp.broadcast_to(spec.one_plain, a.shape))
+
+
+def _prefix_prod(spec: FieldSpec, a):
+    """Inclusive prefix product along axis 0 (Hillis-Steele: log2(n) rounds
+    of full-width masked muls — n*log n work but only ~log n kernel launches,
+    the right trade on TPU where lanes are cheap and graphs must stay small)."""
+    n = a.shape[0]
+    idx = jnp.arange(n)
+    x = a
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(x, shift, axis=0)
+        x = select(idx >= shift, mont_mul(spec, x, rolled), x)
+        shift *= 2
+    return x
+
+
+@partial(jax.jit, static_argnums=0)
+def batch_inv_scan(spec: FieldSpec, a):
+    """Batched inversion over the leading axis: prefix/suffix products +
+    one Fermat inversion.  a: (n, 16), nonzero entries."""
+    n = a.shape[0]
+    prefix = _prefix_prod(spec, a)
+    suffix = jnp.flip(_prefix_prod(spec, jnp.flip(a, axis=0)), axis=0)
+    total_inv = inv(spec, prefix[-1])
+    one = jnp.broadcast_to(spec.one_mont, (1, NLIMB))
+    prefix_shift = jnp.concatenate([one, prefix[:n - 1]], axis=0)
+    suffix_shift = jnp.concatenate([suffix[1:], one], axis=0)
+    return mont_mul(spec, mont_mul(spec, prefix_shift, suffix_shift),
+                    jnp.broadcast_to(total_inv, a.shape))

@@ -12,23 +12,19 @@ layout decoded from contract.sol):
   evals (advice, fixed, random, sigmas, perm z, lookups)
   SHPLONK multiopen ............................. zeta, nu, W, mu, W'
 
-This module is engine-agnostic in structure; the default engine is the host
-python-int engine (slow, golden); the JAX engine accelerates the hot ops.
+Engine-generic: all polynomial arithmetic (NTT, coset evaluation, expression
+folding, scans, MSM commitments) routes through plonk/engine.py — the
+HostEngine is the python-int golden path, the JaxEngine runs the same math
+as fused XLA on TPU.  Both produce byte-identical proofs for a given seed.
 """
 from __future__ import annotations
 
 import numpy as np
 
-from ..fields.bn254 import R, FR_DELTA, batch_inv, inv_mod
+from ..fields.bn254 import R, FR_DELTA
 from .circuit import Assignment
 from .domain import rotate_omega
 from .keygen import ProvingKey
-from .polyops import (
-    coeff_to_extended_coset,
-    eval_poly,
-    extended_coset_to_coeff,
-    lagrange_to_coeff,
-)
 from .shplonk import Query, shplonk_open
 from .transcript import ProofWriter
 
@@ -38,76 +34,66 @@ def _rng_field(rng: np.random.Generator) -> int:
 
 
 class _Cosets:
-    """Lazy cache of extended-coset evaluations attached to a pk."""
+    """Engine-resident extended-coset data, cached per (pk, engine)."""
 
-    def __init__(self, pk: ProvingKey):
-        self.pk = pk
+    def __init__(self, pk: ProvingKey, eng):
         d = pk.vk.domain
         n, en = d.n, d.extended_n
-        self.fixed = [coeff_to_extended_coset(p, d) for p in pk.fixed_polys]
-        self.sigma = [coeff_to_extended_coset(p, d) for p in pk.sigma_polys]
         b = pk.vk.cs.blinding_factors()
-        # lagrange l_0, l_last, l_blind on the extended coset
+        self.fixed_polys = [eng.from_ints(p) for p in pk.fixed_polys]
+        self.fixed = [eng.coeff_to_extended_coset(p) for p in self.fixed_polys]
+        self.sigma_polys = [eng.from_ints(p) for p in pk.sigma_polys]
+        self.sigma = [eng.coeff_to_extended_coset(p) for p in self.sigma_polys]
+
         def lag_coset(rows):
             vals = [0] * n
             for r_ in rows:
                 vals[r_ % n] = 1
-            return coeff_to_extended_coset(lagrange_to_coeff(vals, d.omega), d)
+            return eng.coeff_to_extended_coset(
+                eng.lagrange_to_coeff(eng.from_ints(vals)))
 
         self.l0 = lag_coset([0])
         self.l_last = lag_coset([n - (b + 1)])
-        self.l_blind = lag_coset(range(n - b, n))
-        self.l_active = [(1 - (a + bl)) % R for a, bl in zip(self.l_last, self.l_blind)]
-        # 1 / Z_H on the coset: Z_H(g w^i) = g^n w^{n i} - 1
+        l_blind = lag_coset(range(n - b, n))
+        one = eng.const_vec(1, en)
+        self.l_active = eng.sub(eng.sub(one, self.l_last), l_blind)
+        # 1/Z_H and coset points on the extended coset
         g_n = pow(d.coset_shift, n, R)
         w_n = pow(d.extended_omega, n, R)
-        zh = []
-        cur = g_n
+        zh, pts = [], []
+        cur, curp = g_n, d.coset_shift
         for _ in range(en):
             zh.append((cur - 1) % R)
+            pts.append(curp)
             cur = cur * w_n % R
-        self.zh_inv = batch_inv(zh)
-        # coset points and delta powers for the permutation identity side
-        self.coset_points = []
-        cur = d.coset_shift
-        for _ in range(en):
-            self.coset_points.append(cur)
-            cur = cur * d.extended_omega % R
+            curp = curp * d.extended_omega % R
+        self.zh_inv = eng.batch_inv(eng.from_ints(zh))
+        self.coset_points = eng.from_ints(pts)
 
 
-def _get_cosets(pk: ProvingKey) -> _Cosets:
-    if not hasattr(pk, "_cosets"):
-        pk._cosets = _Cosets(pk)
-    return pk._cosets
-
-
-def _rotated(vals, rot: int, step: int):
-    """vals evaluated at rotation `rot` of the base domain = roll by
-    rot * step in the extended domain (step = extended_n / n)."""
-    if rot == 0:
-        return vals
-    k = (rot * step) % len(vals)
-    return vals[k:] + vals[:k]
+def _get_cosets(pk: ProvingKey, eng) -> _Cosets:
+    cache = getattr(pk, "_cosets_cache", None)
+    if cache is None:
+        cache = pk._cosets_cache = {}
+    if eng.name not in cache:
+        cache[eng.name] = _Cosets(pk, eng)
+    return cache[eng.name]
 
 
 def _permute_lookup(inputs: list[int], table: list[int], usable: int):
-    """halo2 lookup permutation: A' = A sorted (by first occurrence runs);
-    S' = table values aligned so that whenever A'[i] != A'[i-1], S'[i] =
-    A'[i]; remaining S' slots filled with unused table values."""
+    """halo2 lookup permutation: A' = A sorted; S' aligned so that wherever
+    A'[i] != A'[i-1], S'[i] = A'[i]; leftovers fill the gaps."""
     a = sorted(inputs[:usable])
     t_counts: dict[int, int] = {}
     for v in table[:usable]:
         t_counts[v] = t_counts.get(v, 0) + 1
-    s = [0] * usable
-    leftover = []
+    s: list = [None] * usable
     for i, v in enumerate(a):
         if i == 0 or v != a[i - 1]:
             if t_counts.get(v, 0) == 0:
                 raise ValueError(f"lookup failure: input {v} not in table")
             t_counts[v] -= 1
             s[i] = v
-        else:
-            s[i] = None  # fill later
     rest = []
     for v, c in t_counts.items():
         rest.extend([v] * c)
@@ -120,7 +106,8 @@ def _permute_lookup(inputs: list[int], table: list[int], usable: int):
 
 
 def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
-                 rng_seed: int = 0, debug: dict | None = None) -> bytes:
+                 rng_seed: int = 0, engine: str | object = "host",
+                 debug: dict | None = None) -> bytes:
     vk = pk.vk
     cs = vk.cs
     d = vk.domain
@@ -129,7 +116,13 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     u = n - (b + 1)  # unusable rows start
     step = d.extended_n // n
     rng = np.random.default_rng(rng_seed)
-    cosets = _get_cosets(pk)
+
+    if isinstance(engine, str):
+        from .engine import make_engine
+        eng = make_engine(engine, d, srs)
+    else:
+        eng = engine
+    cosets = _get_cosets(pk, eng)
 
     t = ProofWriter()
     t.common_scalar(vk.transcript_repr)
@@ -139,50 +132,46 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         assert len(col) <= u, "too many instance rows"
         for v in col:
             t.common_scalar(v)
-    instance_values = []
+    instance_ints = []
     for ci in range(cs.num_instance):
         vals = [0] * n
         col = instances[ci] if ci < len(instances) else []
         for i, v in enumerate(col):
             vals[i] = v % R
-        instance_values.append(vals)
-    instance_polys = [lagrange_to_coeff(v, d.omega) for v in instance_values]
+        instance_ints.append(vals)
+    instance_values = [eng.from_ints(v) for v in instance_ints]
+    instance_polys = [eng.lagrange_to_coeff(v) for v in instance_values]
 
     # -- phase 1: advice ---------------------------------------------------
     asn = Assignment(cs, n)
     circuit.synthesize(pk.config, asn)
-    advice_values = []
+    advice_ints = []
     for col in asn.advice:
         vals = [int(x) % R for x in col]
         for i in range(u, n):
             vals[i] = _rng_field(rng)
-        advice_values.append(vals)
-    advice_polys = [lagrange_to_coeff(v, d.omega) for v in advice_values]
-    for vals in advice_values:
-        t.write_point(srs.commit_lagrange(vals))
+        advice_ints.append(vals)
+    advice_values = [eng.from_ints(v) for v in advice_ints]
+    advice_polys = [eng.lagrange_to_coeff(v) for v in advice_values]
+    for p in eng.commit_lagrange_batch(advice_values):
+        t.write_point(p)
 
     theta = t.squeeze_challenge()
 
-    # column value accessor (lagrange domain) for permutation / lookups
-    def col_vals(col):
-        if col.kind == "advice":
-            return advice_values[col.index]
-        if col.kind == "fixed":
-            return [int(x) % R for x in pk.fixed_values[col.index]]
-        return instance_values[col.index]
+    fixed_ints = [[int(x) % R for x in c] for c in pk.fixed_values]
 
-    def eval_expr_rows(expr):
-        """Evaluate an expression over all n rows (lagrange domain, host)."""
+    def eval_expr_rows_host(expr):
+        """Host-int evaluation over all n rows (used for lookup compression,
+        where the permutation sort is host-side anyway)."""
         def q_vals(q, source):
             v = source[q.column_index]
             rot = q.rotation % n
             return v[rot:] + v[:rot] if rot else v
-        fixed_l = [[int(x) % R for x in c] for c in pk.fixed_values]
         return expr.evaluate(
             constant=lambda c: [c % R] * n,
-            fixed=lambda q: q_vals(q, fixed_l),
-            advice=lambda q: q_vals(q, advice_values),
-            instance=lambda q: q_vals(q, instance_values),
+            fixed=lambda q: q_vals(q, fixed_ints),
+            advice=lambda q: q_vals(q, advice_ints),
+            instance=lambda q: q_vals(q, instance_ints),
             negate=lambda a: [(-x) % R for x in a],
             add=lambda a, bb: [(x + y) % R for x, y in zip(a, bb)],
             mul=lambda a, bb: [x * y % R for x, y in zip(a, bb)],
@@ -190,11 +179,12 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
 
     # -- lookups: permuted pairs ------------------------------------------
     lookup_state = []
+    lookup_perm_vecs = []
     for lk in cs.lookups:
         def compress(exprs):
             acc = [0] * n
             for e in exprs:
-                vals = eval_expr_rows(e)
+                vals = eval_expr_rows_host(e)
                 acc = [(a * theta + v) % R for a, v in zip(acc, vals)]
             return acc
         comp_input = compress([p[0] for p in lk.pairs])
@@ -207,10 +197,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             s_vals[i] = _rng_field(rng)
         lookup_state.append({
             "comp_input": comp_input, "comp_table": comp_table,
-            "a_vals": a_vals, "s_vals": s_vals,
+            "a_ints": a_vals, "s_ints": s_vals,
         })
-        t.write_point(srs.commit_lagrange(a_vals))
-        t.write_point(srs.commit_lagrange(s_vals))
+        lookup_perm_vecs.extend([eng.from_ints(a_vals), eng.from_ints(s_vals)])
+    for p in eng.commit_lagrange_batch(lookup_perm_vecs):
+        t.write_point(p)
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
@@ -220,71 +211,84 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     perm_cols = cs.permutation_columns
     chunks = [perm_cols[i:i + chunk_len] for i in range(0, len(perm_cols), chunk_len)]
 
+    def col_ints(col):
+        if col.kind == "advice":
+            return advice_ints[col.index]
+        if col.kind == "fixed":
+            return fixed_ints[col.index]
+        return instance_ints[col.index]
+
     omega_pows = [1] * n
     for i in range(1, n):
         omega_pows[i] = omega_pows[i - 1] * d.omega % R
     deltas = [pow(FR_DELTA, j, R) for j in range(len(perm_cols))]
 
-    z_values_sets = []
+    z_ints_sets = []
     last_z = 1
     gidx = 0
     for chunk in chunks:
-        num = [1] * n
-        den = [1] * n
+        num = eng.const_vec(1, n)
+        den = eng.const_vec(1, n)
         for col in chunk:
-            vals = col_vals(col)
-            sig = pk.sigma_values[perm_cols.index(col)]
+            vals = eng.from_ints(col_ints(col))
+            sig_l = eng.from_ints(pk.sigma_values[perm_cols.index(col)])
             delta = deltas[gidx]
-            for i in range(n):
-                num[i] = num[i] * ((vals[i] + beta * delta % R * omega_pows[i] + gamma) % R) % R
-                den[i] = den[i] * ((vals[i] + beta * sig[i] + gamma) % R) % R
+            id_part = eng.from_ints([beta * delta % R * w % R for w in omega_pows])
+            num = eng.mul(num, eng.add_const(eng.add(vals, id_part), gamma))
+            den = eng.mul(den, eng.add_const(
+                eng.add(vals, eng.scale(sig_l, beta)), gamma))
             gidx += 1
-        den_inv = batch_inv(den)
+        ratio = eng.mul(num, eng.batch_inv(den))
+        prefix = eng.to_ints(eng.prefix_prod(ratio))
         z = [0] * n
         z[0] = last_z
-        for i in range(u):
-            z[i + 1 if i + 1 < n else 0] = z[i] * num[i] % R * den_inv[i] % R
-        # z[u] is the chunk's final value; blind rows [n-b, n)
+        for i in range(1, u + 1):
+            z[i] = last_z * prefix[i - 1] % R
         last_z = z[u]
         for i in range(n - b, n):
             z[i] = _rng_field(rng)
-        z_values_sets.append(z)
-    z_polys = [lagrange_to_coeff(z, d.omega) for z in z_values_sets]
-    for z in z_values_sets:
-        t.write_point(srs.commit_lagrange(z))
+        z_ints_sets.append(z)
+    z_values = [eng.from_ints(z) for z in z_ints_sets]
+    z_polys = [eng.lagrange_to_coeff(z) for z in z_values]
 
-    # lookup product polys:
-    # z(w x) (a'+beta)(s'+gamma) = z(x) (A+beta)(S+gamma)
-    # so z[i+1] = z[i] * (A_i+beta)(S_i+gamma) / ((a'_i+beta)(s'_i+gamma))
+    # lookup product polys: z[i+1] = z[i] * (A+beta)(S+gamma)/((a'+beta)(s'+gamma))
+    lookup_z_vecs = []
     for lk_s in lookup_state:
-        ci, ct = lk_s["comp_input"], lk_s["comp_table"]
-        av, sv = lk_s["a_vals"], lk_s["s_vals"]
-        den = [(av[i] + beta) % R * ((sv[i] + gamma) % R) % R for i in range(n)]
-        num = [(ci[i] + beta) % R * ((ct[i] + gamma) % R) % R for i in range(n)]
-        den_inv = batch_inv(den)
+        ci = eng.from_ints(lk_s["comp_input"])
+        ct = eng.from_ints(lk_s["comp_table"])
+        av = eng.from_ints(lk_s["a_ints"])
+        sv = eng.from_ints(lk_s["s_ints"])
+        num = eng.mul(eng.add_const(ci, beta), eng.add_const(ct, gamma))
+        den = eng.mul(eng.add_const(av, beta), eng.add_const(sv, gamma))
+        ratio = eng.mul(num, eng.batch_inv(den))
+        prefix = eng.to_ints(eng.prefix_prod(ratio))
         z = [0] * n
         z[0] = 1
-        for i in range(u):
-            z[i + 1] = z[i] * num[i] % R * den_inv[i] % R
+        for i in range(1, u + 1):
+            z[i] = prefix[i - 1]
         for i in range(n - b, n):
             z[i] = _rng_field(rng)
-        lk_s["z_vals"] = z
-        lk_s["z_poly"] = lagrange_to_coeff(z, d.omega)
-        lk_s["a_poly"] = lagrange_to_coeff(av, d.omega)
-        lk_s["s_poly"] = lagrange_to_coeff(sv, d.omega)
-        t.write_point(srs.commit_lagrange(z))
+        lk_s["z_ints"] = z
+        zv = eng.from_ints(z)
+        lookup_z_vecs.append(zv)
+        lk_s["z_poly"] = eng.lagrange_to_coeff(zv)
+        lk_s["a_poly"] = eng.lagrange_to_coeff(av)
+        lk_s["s_poly"] = eng.lagrange_to_coeff(sv)
+    for p in eng.commit_lagrange_batch(z_values + lookup_z_vecs):
+        t.write_point(p)
 
     # vanishing random poly
-    random_poly = [_rng_field(rng) for _ in range(n)]
-    t.write_point(srs.commit(random_poly))
+    random_ints = [_rng_field(rng) for _ in range(n)]
+    random_poly = eng.from_ints(random_ints)
+    t.write_point(eng.commit_batch([random_poly])[0])
 
     y = t.squeeze_challenge()
 
     # -- phase 3: quotient -------------------------------------------------
     en = d.extended_n
-    advice_cosets = [coeff_to_extended_coset(p, d) for p in advice_polys]
-    instance_cosets = [coeff_to_extended_coset(p, d) for p in instance_polys]
-    z_cosets = [coeff_to_extended_coset(p, d) for p in z_polys]
+    advice_cosets = [eng.coeff_to_extended_coset(p) for p in advice_polys]
+    instance_cosets = [eng.coeff_to_extended_coset(p) for p in instance_polys]
+    z_cosets = [eng.coeff_to_extended_coset(p) for p in z_polys]
 
     def coset_of(col):
         if col.kind == "advice":
@@ -293,139 +297,127 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             return cosets.fixed[col.index]
         return instance_cosets[col.index]
 
+    def rot_ext(vec, rot):
+        return eng.rotate(vec, rot * step)
+
     def eval_expr_coset(expr):
         return expr.evaluate(
-            constant=lambda c: [c % R] * en,
-            fixed=lambda q: _rotated(cosets.fixed[q.column_index], q.rotation, step),
-            advice=lambda q: _rotated(advice_cosets[q.column_index], q.rotation, step),
-            instance=lambda q: _rotated(instance_cosets[q.column_index], q.rotation, step),
-            negate=lambda a: [(-x) % R for x in a],
-            add=lambda a, bb: [(x + y) % R for x, y in zip(a, bb)],
-            mul=lambda a, bb: [x * y % R for x, y in zip(a, bb)],
+            constant=lambda c: eng.const_vec(c, en),
+            fixed=lambda q: rot_ext(cosets.fixed[q.column_index], q.rotation),
+            advice=lambda q: rot_ext(advice_cosets[q.column_index], q.rotation),
+            instance=lambda q: rot_ext(instance_cosets[q.column_index], q.rotation),
+            negate=eng.neg,
+            add=eng.add,
+            mul=eng.mul,
         )
 
-    hv = [0] * en  # folded h numerator
+    hv = eng.const_vec(0, en)
 
     def fold(vals):
         nonlocal hv
-        hv = [(h * y + v) % R for h, v in zip(hv, vals)]
+        hv = eng.add(eng.scale(hv, y), vals)
 
-    # gates
+    one_ext = eng.const_vec(1, en)
     for gate in cs.gates:
         for poly in gate.polys:
             fold(eval_expr_coset(poly))
 
     # permutation expressions (order matches contract.sol:452-505)
     if chunks:
-        z_first = z_cosets[0]
-        z_last_c = z_cosets[-1]
         # l_0 (1 - z_first)
-        fold([l0 * ((1 - z) % R) % R for l0, z in zip(cosets.l0, z_first)])
+        fold(eng.mul(cosets.l0, eng.sub(one_ext, z_cosets[0])))
         # l_last (z_last^2 - z_last)
-        fold([ll * ((z * z - z) % R) % R for ll, z in zip(cosets.l_last, z_last_c)])
+        zl = z_cosets[-1]
+        fold(eng.mul(cosets.l_last, eng.sub(eng.mul(zl, zl), zl)))
         # l_0 (z_j - z_{j-1}(w^{-(b+1)} X))
         for j in range(1, len(chunks)):
-            prev_rot = _rotated(z_cosets[j - 1], -(b + 1), step)
-            fold([l0 * ((zj - zp) % R) % R
-                  for l0, zj, zp in zip(cosets.l0, z_cosets[j], prev_rot)])
+            prev_rot = rot_ext(z_cosets[j - 1], -(b + 1))
+            fold(eng.mul(cosets.l0, eng.sub(z_cosets[j], prev_rot)))
         # product rules
         gidx = 0
         for j, chunk in enumerate(chunks):
-            z_next = _rotated(z_cosets[j], 1, step)
-            lhs = list(z_next)
-            rhs = list(z_cosets[j])
+            lhs = rot_ext(z_cosets[j], 1)
+            rhs = z_cosets[j]
             for col in chunk:
                 cvals = coset_of(col)
-                sidx = perm_cols.index(col)
-                sig_c = cosets.sigma[sidx]
+                sig_c = cosets.sigma[perm_cols.index(col)]
                 delta = deltas[gidx]
-                for i in range(en):
-                    lhs[i] = lhs[i] * ((cvals[i] + beta * sig_c[i] + gamma) % R) % R
-                    rhs[i] = rhs[i] * ((cvals[i] + beta * delta % R * cosets.coset_points[i] + gamma) % R) % R
+                lhs = eng.mul(lhs, eng.add_const(
+                    eng.add(cvals, eng.scale(sig_c, beta)), gamma))
+                rhs = eng.mul(rhs, eng.add_const(
+                    eng.add(cvals, eng.scale(cosets.coset_points, beta * delta % R)),
+                    gamma))
                 gidx += 1
-            fold([(l - r_) * a % R for l, r_, a in zip(lhs, rhs, cosets.l_active)])
+            fold(eng.mul(eng.sub(lhs, rhs), cosets.l_active))
 
     # lookup expressions
     for lk, lk_s in zip(cs.lookups, lookup_state):
-        zc = coeff_to_extended_coset(lk_s["z_poly"], d)
-        ac = coeff_to_extended_coset(lk_s["a_poly"], d)
-        sc = coeff_to_extended_coset(lk_s["s_poly"], d)
-        z_next = _rotated(zc, 1, step)
-        a_prev = _rotated(ac, -1, step)
+        zc = eng.coeff_to_extended_coset(lk_s["z_poly"])
+        ac = eng.coeff_to_extended_coset(lk_s["a_poly"])
+        sc = eng.coeff_to_extended_coset(lk_s["s_poly"])
+        z_next = rot_ext(zc, 1)
+        a_prev = rot_ext(ac, -1)
 
         def compress_coset(exprs):
-            acc = [0] * en
+            acc = eng.const_vec(0, en)
             for e in exprs:
-                vals = eval_expr_coset(e)
-                acc = [(a * theta + v) % R for a, v in zip(acc, vals)]
+                acc = eng.add(eng.scale(acc, theta), eval_expr_coset(e))
             return acc
 
         comp_in = compress_coset([p[0] for p in lk.pairs])
         comp_tb = compress_coset([p[1] for p in lk.pairs])
-        # l_0 (1 - z)
-        fold([l0 * ((1 - z) % R) % R for l0, z in zip(cosets.l0, zc)])
-        # l_last (z^2 - z)
-        fold([ll * ((z * z - z) % R) % R for ll, z in zip(cosets.l_last, zc)])
-        # (z(wx)(a'+b)(s'+g) - z(x)(A+b)(S+g)) * active
-        fold([
-            ((zn * ((a + beta) % R) % R * ((s + gamma) % R)
-              - z * ((cin + beta) % R) % R * ((ctb + gamma) % R)) % R) * act % R
-            for zn, a, s, z, cin, ctb, act in
-            zip(z_next, ac, sc, zc, comp_in, comp_tb, cosets.l_active)
-        ])
-        # l_0 (a' - s')
-        fold([l0 * ((a - s) % R) % R for l0, a, s in zip(cosets.l0, ac, sc)])
-        # (a' - s')(a' - a'(w^-1 x)) * active
-        fold([((a - s) % R) * ((a - ap) % R) % R * act % R
-              for a, s, ap, act in zip(ac, sc, a_prev, cosets.l_active)])
+        fold(eng.mul(cosets.l0, eng.sub(one_ext, zc)))
+        fold(eng.mul(cosets.l_last, eng.sub(eng.mul(zc, zc), zc)))
+        lhs = eng.mul(z_next, eng.mul(eng.add_const(ac, beta),
+                                      eng.add_const(sc, gamma)))
+        rhs = eng.mul(zc, eng.mul(eng.add_const(comp_in, beta),
+                                  eng.add_const(comp_tb, gamma)))
+        fold(eng.mul(eng.sub(lhs, rhs), cosets.l_active))
+        fold(eng.mul(cosets.l0, eng.sub(ac, sc)))
+        fold(eng.mul(eng.mul(eng.sub(ac, sc), eng.sub(ac, a_prev)),
+                     cosets.l_active))
 
-    h_values = [v * zi % R for v, zi in zip(hv, cosets.zh_inv)]
-    h_coeffs = extended_coset_to_coeff(h_values, d)
-    # degree bound: quotient_poly_degree * n coefficients
-    h_coeffs = h_coeffs[: d.quotient_poly_degree * n]
-    h_chunks = [h_coeffs[i * n:(i + 1) * n] for i in range(d.quotient_poly_degree)]
-    h_chunks = [c + [0] * (n - len(c)) for c in h_chunks]
-    for c in h_chunks:
-        t.write_point(srs.commit(c))
+    h_values = eng.mul(hv, cosets.zh_inv)
+    h_coeffs_ints = eng.to_ints(eng.extended_coset_to_coeff(h_values))
+    h_coeffs_ints = h_coeffs_ints[: d.quotient_poly_degree * n]
+    h_chunk_ints = [h_coeffs_ints[i * n:(i + 1) * n]
+                    for i in range(d.quotient_poly_degree)]
+    h_chunk_ints = [c + [0] * (n - len(c)) for c in h_chunk_ints]
+    h_chunks = [eng.from_ints(c) for c in h_chunk_ints]
+    for p in eng.commit_batch(h_chunks):
+        t.write_point(p)
 
     x = t.squeeze_challenge()
     xn = pow(x, n, R)
 
     # -- evaluations -------------------------------------------------------
-    def poly_of(kind, idx):
-        return {"advice": advice_polys, "fixed": pk.fixed_polys,
-                "instance": instance_polys}[kind][idx]
-
     for ci, rot in cs.advice_queries:
-        t.write_scalar(eval_poly(advice_polys[ci], rotate_omega(d, x, rot)))
+        t.write_scalar(eng.eval_poly(advice_polys[ci], rotate_omega(d, x, rot)))
     for ci, rot in cs.fixed_queries:
-        t.write_scalar(eval_poly(pk.fixed_polys[ci], rotate_omega(d, x, rot)))
-    # vanishing: random eval
-    t.write_scalar(eval_poly(random_poly, x))
-    # permutation commons (sigmas)
-    for sp in pk.sigma_polys:
-        t.write_scalar(eval_poly(sp, x))
-    # permutation products
+        t.write_scalar(eng.eval_poly(cosets.fixed_polys[ci], rotate_omega(d, x, rot)))
+    t.write_scalar(eng.eval_poly(random_poly, x))
+    for sp in cosets.sigma_polys:
+        t.write_scalar(eng.eval_poly(sp, x))
     x_next = rotate_omega(d, x, 1)
     x_last = rotate_omega(d, x, -(b + 1))
     for j, zp in enumerate(z_polys):
-        t.write_scalar(eval_poly(zp, x))
-        t.write_scalar(eval_poly(zp, x_next))
+        t.write_scalar(eng.eval_poly(zp, x))
+        t.write_scalar(eng.eval_poly(zp, x_next))
         if j + 1 < len(z_polys):
-            t.write_scalar(eval_poly(zp, x_last))
-    # lookups: z(x), z(wx), a'(x), a'(w^-1 x), s'(x)
+            t.write_scalar(eng.eval_poly(zp, x_last))
     x_prev = rotate_omega(d, x, -1)
     for lk_s in lookup_state:
-        t.write_scalar(eval_poly(lk_s["z_poly"], x))
-        t.write_scalar(eval_poly(lk_s["z_poly"], x_next))
-        t.write_scalar(eval_poly(lk_s["a_poly"], x))
-        t.write_scalar(eval_poly(lk_s["a_poly"], x_prev))
-        t.write_scalar(eval_poly(lk_s["s_poly"], x))
+        t.write_scalar(eng.eval_poly(lk_s["z_poly"], x))
+        t.write_scalar(eng.eval_poly(lk_s["z_poly"], x_next))
+        t.write_scalar(eng.eval_poly(lk_s["a_poly"], x))
+        t.write_scalar(eng.eval_poly(lk_s["a_poly"], x_prev))
+        t.write_scalar(eng.eval_poly(lk_s["s_poly"], x))
 
     # -- multiopen queries (order pins SHPLONK set structure) --------------
-    h_folded = [0] * n
+    # fold h chunks with x^n (Horner from last chunk)
+    h_folded = eng.const_vec(0, n)
     for c in reversed(h_chunks):
-        h_folded = [(hf * xn + cc) % R for hf, cc in zip(h_folded, c)]
+        h_folded = eng.add(eng.scale(h_folded, xn), c)
 
     queries: list[Query] = []
     for ci, rot in cs.advice_queries:
@@ -442,8 +434,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         queries.append(Query(("lk_a", li), lk_s["a_poly"], -1))
         queries.append(Query(("lk_z", li), lk_s["z_poly"], 1))
     for ci, rot in cs.fixed_queries:
-        queries.append(Query(("fixed", ci), pk.fixed_polys[ci], rot))
-    for j, sp in enumerate(pk.sigma_polys):
+        queries.append(Query(("fixed", ci), cosets.fixed_polys[ci], rot))
+    for j, sp in enumerate(cosets.sigma_polys):
         queries.append(Query(("sigma", j), sp, 0))
     queries.append(Query(("h",), h_folded, 0))
     queries.append(Query(("random",), random_poly, 0))
@@ -452,10 +444,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         debug.update(dict(
             advice_polys=advice_polys, instance_polys=instance_polys,
             z_polys=z_polys, random_poly=random_poly, h_chunks=h_chunks,
-            h_folded=h_folded, h_values=h_values, hv=hv, queries=queries,
+            h_folded=h_folded, queries=queries, engine=eng,
             theta=theta, beta=beta, gamma=gamma, y=y, x=x,
-            advice_values=advice_values, z_values_sets=z_values_sets,
-            lookup_state=lookup_state,
         ))
-    shplonk_open(t, srs, d, queries, x)
+    shplonk_open(t, srs, d, queries, x, eng)
     return bytes(t.proof)

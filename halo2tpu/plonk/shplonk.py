@@ -15,6 +15,10 @@ nu (combine sets) and mu (opening point):
 The verifier then checks  e(acc, [1]_2) * e(W', [-tau]_2) == 1  with
   acc = sum_k nu^k d_k ([f_k] - r_k(mu) G) - Z_0(mu) W + mu W',
 which equals [X * L(X)/(X-mu)] = tau W'.
+
+Poly combination/commitment run on the prover engine; the per-set
+interpolations and the exact divisions by tiny vanishing sets are host-side
+(O(n) python over at most a handful of sets).
 """
 from __future__ import annotations
 
@@ -22,14 +26,13 @@ from dataclasses import dataclass
 
 from ..fields.bn254 import R, batch_inv, inv_mod
 from .domain import Domain, rotate_omega
-from .polyops import eval_poly
 from .transcript import ProofWriter
 
 
 @dataclass
 class Query:
     poly_id: tuple      # identity key: queries of the same poly share sets
-    coeffs: list        # coefficient form
+    coeffs: object      # engine vector, coefficient form
     rotation: int
 
 
@@ -39,7 +42,7 @@ def group_rotation_sets(queries: list[Query]):
     rotations sorted ascending.  Matches the layout hardcoded in
     contract.sol:552-616 for the reference Square circuit."""
     poly_rotations: dict[tuple, list[int]] = {}
-    poly_coeffs: dict[tuple, list] = {}
+    poly_coeffs: dict[tuple, object] = {}
     order: list[tuple] = []
     for q in queries:
         if q.poly_id not in poly_rotations:
@@ -60,11 +63,6 @@ def group_rotation_sets(queries: list[Query]):
     return sets, poly_coeffs
 
 
-def _poly_add_scaled(acc: list, p: list, s: int) -> None:
-    for i, c in enumerate(p):
-        acc[i] = (acc[i] + c * s) % R
-
-
 def _divide_linear(p: list, a: int) -> list:
     """p(X) / (X - a) (exact synthetic division, remainder dropped)."""
     out = [0] * (len(p) - 1)
@@ -81,13 +79,13 @@ def _interpolate(points: list[int], values: list[int]) -> list[int]:
     m = len(points)
     coeffs = [0] * m
     for i in range(m):
-        # numerator poly prod_{j!=i} (X - x_j)
         npoly = [1]
         denom = 1
         for j in range(m):
             if j == i:
                 continue
-            npoly = [((npoly[t - 1] if t > 0 else 0) - points[j] * (npoly[t] if t < len(npoly) else 0)) % R
+            npoly = [((npoly[t - 1] if t > 0 else 0)
+                      - points[j] * (npoly[t] if t < len(npoly) else 0)) % R
                      for t in range(len(npoly) + 1)]
             denom = denom * (points[i] - points[j]) % R
         s = values[i] * inv_mod(denom, R) % R
@@ -96,38 +94,43 @@ def _interpolate(points: list[int], values: list[int]) -> list[int]:
     return coeffs
 
 
-def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query], x: int) -> None:
+def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query],
+                 x: int, eng) -> None:
     zeta = t.squeeze_challenge()
     nu = t.squeeze_challenge()
 
     sets, poly_coeffs = group_rotation_sets(queries)
-    n = max(len(q.coeffs) for q in queries)
+    n = d.n
 
-    # per-set combined polys and interpolations
+    # per-set combined polys (engine) and interpolations (host)
     set_data = []
     for s_ in sets:
-        f = [0] * n
+        f = eng.const_vec(0, n)
         zp = 1
         for pid in s_["polys"]:
-            _poly_add_scaled(f, poly_coeffs[pid], zp)
+            f = eng.add(f, eng.scale(poly_coeffs[pid], zp))
             zp = zp * zeta % R
         points = [rotate_omega(d, x, rot) for rot in s_["rotations"]]
-        values = [eval_poly(f, pt) for pt in points]
+        values = [eng.eval_poly(f, pt) for pt in points]
         r_coeffs = _interpolate(points, values)
-        set_data.append({"f": f, "points": points, "r": r_coeffs})
+        set_data.append({"f": f, "f_ints": eng.to_ints(f),
+                         "points": points, "r": r_coeffs})
 
-    # h(X) = sum nu^k (f_k - r_k) / Z_k
-    h = [0] * n
+    # h(X) = sum nu^k (f_k - r_k) / Z_k   (division host-side: per set it is
+    # |T_k| synthetic divisions, |T_k| <= 3)
+    h_ints = [0] * n
     nup = 1
     for sd in set_data:
         q = [(a - (sd["r"][i] if i < len(sd["r"]) else 0)) % R
-             for i, a in enumerate(sd["f"])]
+             for i, a in enumerate(sd["f_ints"])]
         for pt in sd["points"]:
             q = _divide_linear(q, pt)
             q.append(0)
-        _poly_add_scaled(h, q, nup)
+        for i, c in enumerate(q):
+            h_ints[i] = (h_ints[i] + nup * c) % R
         nup = nup * nu % R
-    t.write_point(srs.commit(h))
+    h_vec = eng.from_ints(h_ints)
+    t.write_point(eng.commit_batch([h_vec])[0])
 
     mu = t.squeeze_challenge()
 
@@ -142,16 +145,20 @@ def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query], x: int) -
     z_mu_inv = batch_inv(z_mu)
     d_norm = [z0_mu * zi % R for zi in z_mu_inv]
 
-    # L(X) = sum nu^k d_k (f_k(X) - r_k(mu)) - Z_0(mu) h(X)
+    # L(X) = sum nu^k d_k (f_k(X) - r_k(mu)) - Z_0(mu) h(X), then / (X - mu)
+    from .polyops import eval_poly as host_eval
     L = [0] * n
     nup = 1
     for sd, dk in zip(set_data, d_norm):
-        r_mu = eval_poly(sd["r"], mu)
+        r_mu = host_eval(sd["r"], mu)
         coef = nup * dk % R
-        _poly_add_scaled(L, sd["f"], coef)
+        for i, c in enumerate(sd["f_ints"]):
+            L[i] = (L[i] + coef * c) % R
         L[0] = (L[0] - coef * r_mu) % R
         nup = nup * nu % R
-    _poly_add_scaled(L, h, (-z0_mu) % R)
+    negz0 = (-z0_mu) % R
+    for i, c in enumerate(h_ints):
+        L[i] = (L[i] + negz0 * c) % R
 
-    w_prime = _divide_linear(L, mu)
-    t.write_point(srs.commit(w_prime))
+    w_prime = _divide_linear(L, mu) + [0]
+    t.write_point(eng.commit_batch([eng.from_ints(w_prime)])[0])
