@@ -3,8 +3,33 @@
 JAX tests run on a virtual 8-device CPU mesh (multi-chip sharding is
 validated without TPU pod hardware, per SURVEY §4 test strategy); the real
 TPU path is exercised by bench.py / __graft_entry__.py.
+
+The ambient environment pins JAX_PLATFORMS=axon and injects a sitecustomize
+(via PYTHONPATH) that registers the TPU PJRT plugin at interpreter start,
+which locks XLA flag parsing before conftest can request 8 virtual CPU
+devices.  So: re-exec pytest once with a scrubbed environment.
 """
 import os
+import sys
+
+if os.environ.get("HALO2TPU_TEST_REEXEC") != "1" and "axon" in os.environ.get(
+        "JAX_PLATFORMS", ""):
+    import subprocess
+    env = dict(os.environ)
+    env["HALO2TPU_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and ".axon_site" not in p]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in pp:
+        pp.insert(0, repo_root)
+    env["PYTHONPATH"] = os.pathsep.join(pp)
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env)
+    os._exit(rc)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
