@@ -84,7 +84,10 @@ def build_permutation_sigmas(cs: ConstraintSystem, n: int,
     return sigmas
 
 
-def keygen(circuit: Circuit, k: int, srs: SRS):
+def keygen(circuit: Circuit, k: int, srs: SRS, engine=None):
+    """engine=None uses host (python-int) polynomial ops; pass a
+    plonk.engine JaxEngine to run the keygen NTTs/MSMs on device (required
+    in practice for wide circuits — hundreds of fixed/sigma columns)."""
     cs = ConstraintSystem()
     config = circuit.configure(cs)
     n = 1 << k
@@ -98,14 +101,26 @@ def keygen(circuit: Circuit, k: int, srs: SRS):
     circuit.synthesize(config, asn)
 
     fixed_values = [col.copy() for col in asn.fixed]
-    fixed_polys = [lagrange_to_coeff([int(v) for v in col], domain.omega)
-                   for col in fixed_values]
-    fixed_commitments = [srs.commit_lagrange([int(v) for v in col])
-                         for col in fixed_values]
-
     sigma_values = build_permutation_sigmas(cs, n, asn.copies)
-    sigma_polys = [lagrange_to_coeff(col, domain.omega) for col in sigma_values]
-    sigma_commitments = [srs.commit_lagrange(col) for col in sigma_values]
+
+    if engine is None:
+        fixed_polys = [lagrange_to_coeff([int(v) for v in col], domain.omega)
+                       for col in fixed_values]
+        fixed_commitments = [srs.commit_lagrange([int(v) for v in col])
+                             for col in fixed_values]
+        sigma_polys = [lagrange_to_coeff(col, domain.omega)
+                       for col in sigma_values]
+        sigma_commitments = [srs.commit_lagrange(col) for col in sigma_values]
+    else:
+        fixed_dev = [engine.from_ints([int(v) for v in col])
+                     for col in fixed_values]
+        sigma_dev = [engine.from_ints(col) for col in sigma_values]
+        fixed_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
+                       for v in fixed_dev]
+        sigma_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
+                       for v in sigma_dev]
+        fixed_commitments = engine.commit_lagrange_batch(fixed_dev)
+        sigma_commitments = engine.commit_lagrange_batch(sigma_dev)
 
     instances = circuit.instances()
     num_instance_rows = [len(col) for col in instances]
@@ -139,4 +154,36 @@ def keygen(circuit: Circuit, k: int, srs: SRS):
         sigma_polys=sigma_polys,
         config=config,
     )
+    return pk, vk
+
+
+# -- checkpointing (SURVEY §5.4: the reference regenerates params per test;
+# we persist them — real keygen at k>=15 is expensive) ------------------------
+
+def save_proving_key(pk: ProvingKey, path: str) -> None:
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump(pk, f)
+
+
+def load_proving_key(path: str) -> ProvingKey:
+    import pickle
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
+                  engine=None, cache_dir: str | None = None):
+    """keygen with on-disk pk/vk persistence, keyed by caller-supplied
+    cache_key (circuit family + parameters)."""
+    import os
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(__file__), "..", "..", ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"pk_{cache_key}_k{k}.pkl")
+    if os.path.exists(path):
+        pk = load_proving_key(path)
+        return pk, pk.vk
+    pk, vk = keygen(circuit, k, srs, engine=engine)
+    save_proving_key(pk, path)
     return pk, vk

@@ -1,0 +1,128 @@
+"""Composite Aadhaar QR verifier: one circuit binding RSA-SHA256, field
+extraction, conditional reveal, nullifier, timestamp, and signal — the
+reference's flagship flow (lib.rs:649-1053) realized as a single proof.
+
+Uses a structurally-faithful synthetic mini-QR (18 delimiters, same field
+layout, small photo containing a 255 byte) to bound mock-prover time; the
+full 1137-byte reference vector runs in bench.py.
+"""
+import pytest
+
+from halo2tpu.circuits.aadhaar_qr import (
+    AadhaarParams,
+    AadhaarQRVerifierCircuit,
+    AadhaarWitness,
+    native_outputs,
+)
+from halo2tpu.fields.bn254 import R
+from halo2tpu.plonk.mock import MockProver
+from halo2tpu.utils.rsa_native import generate_key, sign_pkcs1v15_sha256
+
+K = 14
+
+
+def build_mini_qr() -> bytes:
+    """18-delimiter QR with the reference's field layout (lib.rs:621-647):
+    field 2 carries refid+timestamp digits, 4 DOB, 5 gender, 11 pincode,
+    13 state, photo after delimiter 18."""
+    fields = [
+        b"86",                      # 0: version-ish prefix
+        b"3",                       # 1
+        b"1234" + b"20240718" + b"12" + b"4557",   # 2: refid4+ts digits
+        b"Sumit Kumar",             # 3: name
+        b"01-01-1984",              # 4: dob dd-mm-yyyy
+        b"M",                       # 5: gender
+        b"CO X",                    # 6
+        b"East",                    # 7
+        b"",                        # 8
+        b"B-31",                    # 9
+        b"",                        # 10
+        b"110051",                  # 11: pincode
+        b"KN",                      # 12
+        b"Delhi",                   # 13: state
+        b"RSP",                     # 14
+        b"GN",                      # 15
+        b"KN2",                     # 16
+        b"1234",                    # 17
+    ]
+    photo = bytes((i * 13 + 7) % 256 for i in range(45))
+    assert 255 in photo or True
+    photo = photo[:20] + b"\xff" + photo[21:]  # ensure a 255 inside photo
+    return b"\xff".join(fields) + b"\xff" + photo
+
+
+MINI_PARAMS = AadhaarParams(
+    signed_len=0,  # filled in fixture (sign everything)
+    max_photo=62, max_state=16, num_advice=48,
+    num_lookup_advice=12, lookup_bits=12, sha_lanes=16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    qr = build_mini_qr()
+    key, n, e = generate_key(2048)
+    sig = sign_pkcs1v15_sha256(key, qr)
+    p = AadhaarParams(**{**MINI_PARAMS.__dict__, "signed_len": len(qr)})
+    w = AadhaarWitness(qr, n, sig, nullifier_seed=12345678,
+                       signal_hash=4294967295)
+    return w, p
+
+
+def test_native_outputs(setup):
+    w, p = setup
+    o = native_outputs(w, p)
+    # reference age formula (lib.rs:817-825): year-byear-1, +1 only when the
+    # birthday has NOT yet passed — a reference quirk we preserve; for
+    # born 01/1984 at 07/2024 it yields 39
+    assert o["age"] == 39 and o["above18"] == 1
+    assert o["gender"] == ord("M")
+    assert o["pincode"] == 110051
+    assert o["state_packed"] == int.from_bytes(
+        b"Delhi" + b"\x00" * 11, "little")
+    # 2024-07-18 12:00 IST == 2024-07-18 06:30 UTC, MINUS one day: the
+    # reference leap formula (timestamp.rs:204-206) never counts the
+    # current leap year's Feb 29, so post-February dates in leap years come
+    # out a day short — preserved for parity
+    import datetime
+    expect = int(datetime.datetime(
+        2024, 7, 17, 6, 30, tzinfo=datetime.timezone.utc).timestamp())
+    assert o["timestamp"] == expect
+
+
+def test_composite_satisfied(setup):
+    w, p = setup
+    c = AadhaarQRVerifierCircuit(w, p)
+    mp = MockProver.run(K, c, c.instances())
+    fails = mp.verify()
+    assert not fails, fails[:3]
+
+
+def test_composite_hidden_fields(setup):
+    w, p = setup
+    w2 = AadhaarWitness(w.qr_data, w.n, w.sig, w.nullifier_seed,
+                        w.signal_hash, reveal_age=True, reveal_gender=False,
+                        reveal_pincode=False, reveal_state=False)
+    c = AadhaarQRVerifierCircuit(w2, p)
+    inst = c.instances()
+    assert inst[0][6] == 0 and inst[0][7] == 0 and inst[0][8] == 0
+    mp = MockProver.run(K, c, inst)
+    fails = mp.verify()
+    assert not fails, fails[:3]
+
+
+def test_composite_wrong_nullifier_rejected(setup):
+    w, p = setup
+    c = AadhaarQRVerifierCircuit(w, p)
+    inst = c.instances()
+    inst[0][3] = (inst[0][3] + 1) % R
+    mp = MockProver.run(K, c, inst)
+    assert mp.verify()
+
+
+def test_composite_forged_signature_rejected(setup):
+    w, p = setup
+    w2 = AadhaarWitness(w.qr_data, w.n, w.sig + 1, w.nullifier_seed,
+                        w.signal_hash)
+    c = AadhaarQRVerifierCircuit(w2, p)
+    mp = MockProver.run(K, c, c.instances())
+    assert mp.verify()
