@@ -59,24 +59,38 @@ class MockProver:
             src = self._col_source(kind)[q.column_index]
             return [int(src[(i + q.rotation) % n]) % R for i in range(u)]
 
-        # gates
-        for gate in cs.gates:
-            for gi, poly in enumerate(gate.polys):
-                vals = poly.evaluate(
-                    constant=lambda c: [c % R] * u,
-                    fixed=lambda q: query_vals(q, "fixed"),
-                    advice=lambda q: query_vals(q, "advice"),
-                    instance=lambda q: query_vals(q, "instance"),
-                    negate=lambda a: [(-x) % R for x in a],
-                    add=lambda a, b: [(x + y) % R for x, y in zip(a, b)],
-                    mul=lambda a, b: [x * y % R for x, y in zip(a, b)],
-                )
-                for row, v in enumerate(vals):
-                    if v != 0:
+        # gates: native C++ row evaluator when available (the hot loop —
+        # pure-python evaluation of wide circuits at k>=14 takes minutes)
+        from .. import native
+        if native.available():
+            ev = native.NativeGateEvaluator(
+                self.asn.fixed, self.asn.advice, self.instance_values, n, u)
+            for gate in cs.gates:
+                for gi, poly in enumerate(gate.polys):
+                    for row in ev.eval_poly(poly):
                         failures.append(MockFailure(
-                            "gate", f"gate '{gate.name}' poly {gi} row {row}: {v}"))
-                        if len(failures) > 16:
-                            return failures
+                            "gate",
+                            f"gate '{gate.name}' poly {gi} row {row}"))
+                    if len(failures) > 16:
+                        return failures
+        else:
+            for gate in cs.gates:
+                for gi, poly in enumerate(gate.polys):
+                    vals = poly.evaluate(
+                        constant=lambda c: [c % R] * u,
+                        fixed=lambda q: query_vals(q, "fixed"),
+                        advice=lambda q: query_vals(q, "advice"),
+                        instance=lambda q: query_vals(q, "instance"),
+                        negate=lambda a: [(-x) % R for x in a],
+                        add=lambda a, b: [(x + y) % R for x, y in zip(a, b)],
+                        mul=lambda a, b: [x * y % R for x, y in zip(a, b)],
+                    )
+                    for row, v in enumerate(vals):
+                        if v != 0:
+                            failures.append(MockFailure(
+                                "gate", f"gate '{gate.name}' poly {gi} row {row}: {v}"))
+                            if len(failures) > 16:
+                                return failures
 
         # copies
         for (ca, ra), (cb, rb) in self.asn.copies:
