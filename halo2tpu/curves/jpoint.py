@@ -61,23 +61,31 @@ def _mul(a, b):
     return mont_mul(FQ, a, b)
 
 
+def _mulk(xs, ys):
+    """Batch k independent field muls in ONE mont_mul call (stacked along a
+    new leading axis).  Halves the traced-graph size of point formulas —
+    XLA compile time grows super-linearly in mul count — and fills vector
+    lanes better at small batch."""
+    out = mont_mul(FQ, jnp.stack(xs, axis=0), jnp.stack(ys, axis=0))
+    return [out[i] for i in range(len(xs))]
+
+
 def pdbl(p):
     """Jacobian doubling, identity-safe (z=0 -> z3=0)."""
     x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    a = _mul(x, x)
-    b = _mul(y, y)
-    c = _mul(b, b)
+    a, b, z3 = _mulk([x, y, fadd(FQ, y, y)], [x, y, z])
     xb = fadd(FQ, x, b)
-    d = fsub(FQ, _mul(xb, xb), fadd(FQ, a, c))
+    c, xb2 = _mulk([b, xb], [b, xb])
+    d = fsub(FQ, xb2, fadd(FQ, a, c))
     d = fadd(FQ, d, d)
     e = fadd(FQ, fadd(FQ, a, a), a)
-    f = _mul(e, e)
+    f, = _mulk([e], [e])
     x3 = fsub(FQ, f, fadd(FQ, d, d))
     c8 = fadd(FQ, c, c)
     c8 = fadd(FQ, c8, c8)
     c8 = fadd(FQ, c8, c8)
-    y3 = fsub(FQ, _mul(e, fsub(FQ, d, x3)), c8)
-    z3 = _mul(fadd(FQ, y, y), z)
+    edx, = _mulk([e], [fsub(FQ, d, x3)])
+    y3 = fsub(FQ, edx, c8)
     return jnp.stack([x3, y3, z3], axis=-2)
 
 
@@ -85,24 +93,21 @@ def padd(p, q):
     """Full Jacobian addition with identity/double/inverse handling."""
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-    z1z1 = _mul(z1, z1)
-    z2z2 = _mul(z2, z2)
-    u1 = _mul(x1, z2z2)
-    u2 = _mul(x2, z1z1)
-    s1 = _mul(_mul(y1, z2), z2z2)
-    s2 = _mul(_mul(y2, z1), z1z1)
+    z1z1, z2z2 = _mulk([z1, z2], [z1, z2])
+    u1, u2, t1, t2 = _mulk([x1, x2, y1, y2], [z2z2, z1z1, z2, z1])
+    s1, s2 = _mulk([t1, t2], [z2z2, z1z1])
     h = fsub(FQ, u2, u1)
-    i = fadd(FQ, h, h)
-    i = _mul(i, i)
-    j = _mul(h, i)
+    hh = fadd(FQ, h, h)
+    zz = fadd(FQ, z1, z2)
     rr = fsub(FQ, s2, s1)
     rr = fadd(FQ, rr, rr)
-    v = _mul(u1, i)
-    x3 = fsub(FQ, fsub(FQ, _mul(rr, rr), j), fadd(FQ, v, v))
-    s1j = _mul(s1, j)
-    y3 = fsub(FQ, _mul(rr, fsub(FQ, v, x3)), fadd(FQ, s1j, s1j))
-    zz = fadd(FQ, z1, z2)
-    z3 = _mul(fsub(FQ, fsub(FQ, _mul(zz, zz), z1z1), z2z2), h)
+    i, zzsq, r2 = _mulk([hh, zz, rr], [hh, zz, rr])
+    j, v = _mulk([h, u1], [i, i])
+    x3 = fsub(FQ, fsub(FQ, r2, j), fadd(FQ, v, v))
+    rvx, s1j, z3 = _mulk(
+        [rr, s1, fsub(FQ, fsub(FQ, zzsq, z1z1), z2z2)],
+        [fsub(FQ, v, x3), j, h])
+    y3 = fsub(FQ, rvx, fadd(FQ, s1j, s1j))
     gen = jnp.stack([x3, y3, z3], axis=-2)
 
     p_inf = fzero(z1)
@@ -118,6 +123,36 @@ def padd(p, q):
     out = _psel(q_inf, p, out)
     out = _psel(p_inf, q, out)
     return out
+
+
+def padd_mixed(p, q):
+    """Jacobian p += affine q (madd-2007-bl): 11 field muls vs padd's 17 —
+    the MSM row-fold hot path always adds SRS base points, which are affine
+    (q given as (..., 3, 16) with Z = 1, or Z = 0 for padding/infinity).
+
+    Handles identity operands; does NOT handle p == q (doubling): summing
+    distinct random SRS bases hits that case with probability ~2^-254 per
+    add, and a hit would only make the proof fail verification, not forge
+    one (completeness-only risk)."""
+    X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+    Z1Z1, t0 = _mulk([Z1, y2], [Z1, Z1])
+    U2, S2 = _mulk([x2, t0], [Z1Z1, Z1Z1])
+    H = fsub(FQ, U2, X1)
+    r = fsub(FQ, S2, Y1)
+    r = fadd(FQ, r, r)
+    ZH = fadd(FQ, Z1, H)
+    HH, rr, zh2 = _mulk([H, r, ZH], [H, r, ZH])
+    i = fadd(FQ, HH, HH)
+    i = fadd(FQ, i, i)
+    J, V = _mulk([H, X1], [i, i])
+    X3 = fsub(FQ, fsub(FQ, rr, J), fadd(FQ, V, V))
+    y3a, y3b = _mulk([r, Y1], [fsub(FQ, V, X3), J])
+    Y3 = fsub(FQ, y3a, fadd(FQ, y3b, y3b))
+    Z3 = fsub(FQ, fsub(FQ, zh2, Z1Z1), HH)
+    gen = jnp.stack([X3, Y3, Z3], axis=-2)
+    out = _psel(fzero(Z1), q, gen)   # p at infinity -> q (z=1 Jacobian)
+    return _psel(fzero(z2), p, out)  # q at infinity -> p
 
 
 def _psel(mask, a, b):

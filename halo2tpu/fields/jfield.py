@@ -80,6 +80,9 @@ class FieldSpec:
         self.r2 = self.r * self.r % p
         # -p^-1 mod 2^16
         self.p_inv_neg = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        # -p^-1 mod 2^256 (full-width Montgomery factor, SOS reduction)
+        self.p_inv_full = jnp.asarray(
+            int_to_limbs((-pow(p, -1, 1 << 256)) % (1 << 256)))
         self.p_limbs = jnp.asarray(int_to_limbs(p))
         self.r2_limbs = jnp.asarray(int_to_limbs(self.r2))
         self.one_plain = jnp.asarray(int_to_limbs(1))       # 1 (not Montgomery)
@@ -136,34 +139,65 @@ def _cond_sub_p(spec: FieldSpec, limbs17):
     return jnp.where(borrow_free[..., None], sub, limbs17[..., :16])
 
 
+# Static gather index: b_shift[i, k] = b_ext[(k - i) % 33] where b_ext is b
+# padded with 17 zero columns — every out-of-range (k - i) lands in the zero
+# region.  One pad + one constant-index gather + one reduction per
+# convolution: the only formulation found that is BOTH fast to compile
+# (scatter-adds and pad-chains blow XLA up super-linearly) and near-minimal
+# work (a one-hot matmul contraction costs 33x the useful MACs).
+_CONV_IDX = jnp.asarray(
+    np.fromfunction(lambda i, k: (k - i) % 33, (NLIMB, 33), dtype=np.int64)
+    .astype(np.int32))
+
+
+def _conv_cols(a, b, out_cols=33):
+    """Lazy-carry column sums of the product a*b (little-endian limb
+    convolution): returns (..., out_cols) with values < 16 * 2^16 < 2^21."""
+    zeros = jnp.zeros(b.shape[:-1] + (17,), dtype=b.dtype)
+    b_ext = jnp.concatenate([b, zeros], axis=-1)
+    idx = _CONV_IDX[:, :out_cols]
+    b_shift = b_ext[..., idx]                       # (..., 16, out_cols)
+    prod = a[..., :, None] * b_shift                # 32-bit exact
+    lo = (prod & MASK).sum(axis=-2, dtype=jnp.uint32)
+    hi = (prod >> LIMB_BITS).sum(axis=-2, dtype=jnp.uint32)
+    # hi contributes one column up
+    hi_shifted = jnp.concatenate(
+        [jnp.zeros(hi.shape[:-1] + (1,), hi.dtype), hi[..., :-1]], axis=-1)
+    return lo + hi_shifted
+
+
+def _carry16(cols):
+    """Sequential carry propagation of the first 16 columns: returns exact
+    16 limbs and the carry out of column 15."""
+    out = []
+    carry = cols[..., 0] * jnp.uint32(0)
+    for k in range(NLIMB):
+        cur = cols[..., k] + carry
+        out.append(cur & MASK)
+        carry = cur >> LIMB_BITS
+    return jnp.stack(out, axis=-1), carry
+
+
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product: a*b*R^-1 mod p.  a, b: (..., 16) uint32."""
-    # outer products: (..., 16, 16), each 16x16->32 bit exact
-    prod = a[..., :, None] * b[..., None, :]
-    lo = prod & MASK
-    hi = prod >> LIMB_BITS
-    batch = a.shape[:-1]
-    t = jnp.zeros(batch + (33,), dtype=jnp.uint32)
-    for i in range(NLIMB):
-        t = t.at[..., i:i + NLIMB].add(lo[..., i, :])
-        t = t.at[..., i + 1:i + NLIMB + 1].add(hi[..., i, :])
-    # interleaved Montgomery reduction (16 steps)
-    p = spec.p_limbs
-    p_inv = jnp.uint32(spec.p_inv_neg)
-    carry = jnp.zeros(batch, dtype=jnp.uint32)
-    for i in range(NLIMB):
-        cur = t[..., i] + carry
-        m = (cur * p_inv) & MASK
-        mp = m[..., None] * p  # (..., 16) exact 32-bit
-        mp_lo = mp & MASK
-        mp_hi = mp >> LIMB_BITS
-        cur = cur + mp_lo[..., 0]
+    """Montgomery product a*b*R^-1 mod p (R=2^256), SOS formulation:
+    three dense conv-matmuls plus short carry chains.  a, b: (..., 16)."""
+    T = _conv_cols(a, b)                                   # (..., 33)
+    tl, _ = _carry16(T)                                    # exact low half
+    # m = (T mod 2^256) * (-p^-1) mod 2^256: triangular contraction
+    m_lazy = _conv_cols(tl, jnp.broadcast_to(spec.p_inv_full, tl.shape),
+                        out_cols=NLIMB)
+    m, _ = _carry16(m_lazy)
+    # Z = T + m*p; low 256 bits vanish; result = Z >> 256 (< 2p)
+    Z = T + _conv_cols(m, jnp.broadcast_to(spec.p_limbs, m.shape))
+    _, z_carry = _carry16(Z)                               # carry into col 16
+    out = []
+    carry = z_carry
+    for k in range(NLIMB, 33):
+        cur = Z[..., k] + carry
+        out.append(cur & MASK)
         carry = cur >> LIMB_BITS
-        t = t.at[..., i + 1:i + NLIMB].add(mp_lo[..., 1:])
-        t = t.at[..., i + 1:i + NLIMB + 1].add(mp_hi)
-    t = t.at[..., 16].add(carry)
-    limbs17, last_c = _carry_propagate_33(t)
+    limbs17 = jnp.stack(out, axis=-1)
     return _cond_sub_p(spec, limbs17)
 
 

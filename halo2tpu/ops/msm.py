@@ -24,30 +24,83 @@ import jax.numpy as jnp
 
 from ..curves import g1 as G1
 from ..curves.jpoint import (
-    affine_to_device, device_to_affine, identity_points, padd, _psel,
+    affine_to_device, device_to_affine, identity_points, padd, padd_mixed,
+    _psel,
 )
 from ..fields.bn254 import R
 from ..fields.jfield import NLIMB, ints_to_limbs
 
 SCALAR_BITS = 254
+LIMB_BITS_SC = 16
 
 
-_FOLD_WIDTH = 1024  # lanes kept live through the tail fold
+_FOLD_WIDTH = 128   # C: point-lanes per fold step (254*B*C live accumulator lanes)
 
 
-@jax.jit
-def _bit_partials(points, scalar_limbs):
+# The reduction is driven from Python with exactly TWO compiled padd-step
+# kernels (row fold, strided tail fold), each carrying ALL 254 bit-planes as
+# a leading batch axis.  Inlining the whole loop into one XLA program looks
+# natural but compiles for minutes — the padd graph (~16 field muls) blows
+# up XLA's fusion passes super-linearly when replicated into loop bodies —
+# while per-bit Python stepping drowns in dispatch overhead.  This shape
+# compiles two small kernels once and dispatches only n/C + log2(C) times
+# per MSM batch, with every dispatch full of vector work (254*B*C lanes).
+
+@partial(jax.jit, donate_argnums=0)
+def _fold_row_step(acc, points, scalar_limbs, r):
+    """acc: (254, B, C, 3, 16); points: (n, 3, 16); scalar_limbs: (B, n, 16);
+    adds the masked r-th row of C points into every bit-plane of acc."""
+    C = acc.shape[2]
+    pts_row = jax.lax.dynamic_slice_in_dim(points, r * C, C, axis=0)
+    sc_row = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
+    # (B, C, 16 limbs) -> bits (254, B, C)
+    shifts = jnp.arange(LIMB_BITS_SC, dtype=jnp.uint32)
+    bits = (sc_row[:, :, :, None] >> shifts) & 1       # (B, C, 16, 16)
+    bits = bits.reshape(bits.shape[0], bits.shape[1], 256)
+    bits = jnp.moveaxis(bits, -1, 0)[:SCALAR_BITS]     # (254, B, C)
+    # mask by zeroing the affine z-flag: padd_mixed treats z=0 as identity
+    pts_bc = jnp.broadcast_to(pts_row, acc.shape)
+    z_masked = pts_bc[..., 2, :] * bits[..., None]
+    sel = jnp.concatenate([pts_bc[..., :2, :], z_masked[..., None, :]],
+                          axis=-2)
+    return padd_mixed(acc, sel)
+
+
+@partial(jax.jit, donate_argnums=0)
+def _fold_tail_step(acc, stride):
+    """One masked strided tree-fold round over the C axis: acc[i] +=
+    acc[i+stride] for i < stride (stride traced — one compile total)."""
+    other = jnp.roll(acc, -stride, axis=2)
+    folded = padd(acc, other)
+    keep = jnp.arange(acc.shape[2]) < stride
+    return _psel(keep[None, None, :], folded, acc)
+
+
+def _bit_partials(points, scalar_limbs, fold_width=None):
     """points: (n, 3, 16); scalar_limbs: (B, n, 16) plain (non-Montgomery)
-    16-bit limbs.  Returns (B, 254, 3, 16): per-bit masked sums.
-
-    Structured for compile time: the reduction is two fori_loops whose bodies
-    each trace ONE padd — (1) fold n/C rows of width C into an accumulator,
-    (2) tree-fold the C survivors at fixed width with masked strided adds —
-    so the graph size is independent of n and of the 254-bit loop.
-    """
+    16-bit limbs.  Returns (B, 254, 3, 16): per-bit masked sums."""
     n = points.shape[0]
     bsz = scalar_limbs.shape[0]
-    C = min(n, _FOLD_WIDTH)
+    C = min(n, fold_width or _FOLD_WIDTH)
+    rows = n // C
+    logc = C.bit_length() - 1
+    acc = identity_points((SCALAR_BITS, bsz, C))
+    for r in range(rows):
+        acc = _fold_row_step(acc, points, scalar_limbs, r)
+    for l in range(logc):
+        acc = _fold_tail_step(acc, C >> (l + 1))
+    # (254, B, C, 3, 16) -> (B, 254, 3, 16)
+    return jnp.transpose(acc[:, :, 0], (1, 0, 2, 3))
+
+
+def _bit_partials_traced(points, scalar_limbs, fold_width=_FOLD_WIDTH):
+    """Trace-safe variant for use INSIDE jit/shard_map (parallel pipeline):
+    compact graph — the 254-bit loop is a lax.map and each fold is a
+    fori_loop whose body traces ONE padd.  Slower to compile than the eager
+    Python-driven version but embeddable in SPMD programs."""
+    n = points.shape[0]
+    bsz = scalar_limbs.shape[0]
+    C = min(n, fold_width)
     rows = n // C
     logc = C.bit_length() - 1
     idx = jnp.arange(C)
@@ -61,8 +114,11 @@ def _bit_partials(points, scalar_limbs):
         bits = ((scalar_limbs[:, :, limb] >> shift) & 1).reshape(bsz, rows, C)
 
         def fold_row(i, acc):
-            sel = _psel(bits[:, i] == 1, pts_b[:, i], ident_row)
-            return padd(acc, sel)
+            pts_row = pts_b[:, i]
+            z_masked = pts_row[..., 2, :] * bits[:, i][..., None]
+            sel = jnp.concatenate(
+                [pts_row[..., :2, :], z_masked[..., None, :]], axis=-2)
+            return padd_mixed(acc, sel)
 
         acc = jax.lax.fori_loop(0, rows, fold_row, ident_row)
 
@@ -76,7 +132,6 @@ def _bit_partials(points, scalar_limbs):
         return acc[:, 0]
 
     partials = jax.lax.map(one_bit, jnp.arange(SCALAR_BITS))
-    # (254, B, 3, 16) -> (B, 254, 3, 16)
     return jnp.transpose(partials, (1, 0, 2, 3))
 
 
@@ -100,9 +155,32 @@ def msm(points_device, scalars_batch: list[list[int]]) -> list:
     return out
 
 
+@partial(jax.jit, donate_argnums=())
+def _horner_device(partials):
+    """(B, 254, 3, 16) -> (B, 3, 16): acc = 2*acc + partial[b], top bit
+    down, entirely on device (one pdbl+padd fori body — the host Horner it
+    replaces cost ~0.5 s/batch of python EC math, dominating TPU runs)."""
+    from ..curves.jpoint import pdbl
+
+    bsz = partials.shape[0]
+
+    def body(i, acc):
+        b = SCALAR_BITS - 1 - i
+        acc = pdbl(acc)
+        return padd(acc, partials[:, b])
+
+    return jax.lax.fori_loop(0, SCALAR_BITS, body,
+                             identity_points((bsz,)))
+
+
 def _partials_to_affine(partials) -> list:
-    """(B, 254, 3, 16) device partial sums -> B host points via Horner
-    doubling from the top bit."""
+    """(B, 254, 3, 16) device partial sums -> B host affine points.
+
+    On TPU the Horner combine runs on device (host python EC math would
+    dominate); on CPU the fori(pdbl+padd) body compiles pathologically
+    slowly in XLA:CPU, so the combine stays host-side there."""
+    if jax.default_backend() != "cpu":
+        return device_to_affine(_horner_device(partials))
     host = device_to_affine(partials.reshape(-1, 3, NLIMB))
     bsz = partials.shape[0]
     out = []

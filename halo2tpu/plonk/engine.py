@@ -223,14 +223,19 @@ class JaxEngine:
         out = []
         npad = ctx.points.shape[0]
         for i in range(0, len(vecs), self.msm_batch):
-            chunk = vecs[i:i + self.msm_batch]
+            chunk = list(vecs[i:i + self.msm_batch])
+            real = len(chunk)
+            # pad the batch to a fixed size: the MSM step kernels compile
+            # per (B, C) shape, so a ragged tail batch would recompile them
+            while len(chunk) < self.msm_batch:
+                chunk.append(jnp.zeros((npad, jfield.NLIMB), jnp.uint32))
             stacked = jnp.stack([
                 jnp.concatenate([v, jnp.zeros((npad - v.shape[0], jfield.NLIMB),
                                               jnp.uint32)], axis=0)
                 if v.shape[0] < npad else v for v in chunk])
             plain = JFR.from_mont(stacked)  # MSM wants plain scalar limbs
             partials = _bit_partials(ctx.points, plain)
-            out.extend(_partials_to_affine(partials))
+            out.extend(_partials_to_affine(partials)[:real])
         return out
 
 

@@ -107,7 +107,9 @@ def _permute_lookup(inputs: list[int], table: list[int], usable: int):
 
 def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
                  rng_seed: int = 0, engine: str | object = "host",
-                 debug: dict | None = None) -> bytes:
+                 debug: dict | None = None, tracer=None) -> bytes:
+    from ..utils.trace import NULL
+    tr = tracer or NULL
     vk = pk.vk
     cs = vk.cs
     d = vk.domain
@@ -144,17 +146,21 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
 
     # -- phase 1: advice ---------------------------------------------------
     asn = Assignment(cs, n)
-    circuit.synthesize(pk.config, asn)
+    with tr.phase("synthesize"):
+        circuit.synthesize(pk.config, asn)
     advice_ints = []
     for col in asn.advice:
         vals = [int(x) % R for x in col]
         for i in range(u, n):
             vals[i] = _rng_field(rng)
         advice_ints.append(vals)
-    advice_values = [eng.from_ints(v) for v in advice_ints]
-    advice_polys = [eng.lagrange_to_coeff(v) for v in advice_values]
-    for p in eng.commit_lagrange_batch(advice_values):
-        t.write_point(p)
+    with tr.phase("advice_ntt"):
+        advice_values = [eng.from_ints(v) for v in advice_ints]
+        advice_polys = [eng.lagrange_to_coeff(v) for v in advice_values]
+    with tr.phase("commit_advice"):
+        for p in eng.commit_lagrange_batch(advice_values):
+            t.write_point(p)
+    tr.count("advice_columns", len(advice_values))
 
     theta = t.squeeze_challenge()
 
@@ -178,6 +184,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         )
 
     # -- lookups: permuted pairs ------------------------------------------
+    tr_lookups = tr.phase("lookups_permute")
+    tr_lookups.__enter__()
     lookup_state = []
     lookup_perm_vecs = []
     for lk in cs.lookups:
@@ -200,8 +208,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             "a_ints": a_vals, "s_ints": s_vals,
         })
         lookup_perm_vecs.extend([eng.from_ints(a_vals), eng.from_ints(s_vals)])
-    for p in eng.commit_lagrange_batch(lookup_perm_vecs):
-        t.write_point(p)
+    tr_lookups.__exit__(None, None, None)
+    with tr.phase("commit_lookup_permuted"):
+        for p in eng.commit_lagrange_batch(lookup_perm_vecs):
+            t.write_point(p)
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
@@ -274,8 +284,9 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         lk_s["z_poly"] = eng.lagrange_to_coeff(zv)
         lk_s["a_poly"] = eng.lagrange_to_coeff(av)
         lk_s["s_poly"] = eng.lagrange_to_coeff(sv)
-    for p in eng.commit_lagrange_batch(z_values + lookup_z_vecs):
-        t.write_point(p)
+    with tr.phase("commit_z"):
+        for p in eng.commit_lagrange_batch(z_values + lookup_z_vecs):
+            t.write_point(p)
 
     # vanishing random poly
     random_ints = [_rng_field(rng) for _ in range(n)]
@@ -285,6 +296,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     y = t.squeeze_challenge()
 
     # -- phase 3: quotient -------------------------------------------------
+    tr_q = tr.phase("quotient")
+    tr_q.__enter__()
     en = d.extended_n
     advice_cosets = [eng.coeff_to_extended_coset(p) for p in advice_polys]
     instance_cosets = [eng.coeff_to_extended_coset(p) for p in instance_polys]
@@ -377,6 +390,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         fold(eng.mul(eng.mul(eng.sub(ac, sc), eng.sub(ac, a_prev)),
                      cosets.l_active))
 
+    tr_q.__exit__(None, None, None)
     h_values = eng.mul(hv, cosets.zh_inv)
     h_coeffs_ints = eng.to_ints(eng.extended_coset_to_coeff(h_values))
     h_coeffs_ints = h_coeffs_ints[: d.quotient_poly_degree * n]
@@ -384,13 +398,16 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
                     for i in range(d.quotient_poly_degree)]
     h_chunk_ints = [c + [0] * (n - len(c)) for c in h_chunk_ints]
     h_chunks = [eng.from_ints(c) for c in h_chunk_ints]
-    for p in eng.commit_batch(h_chunks):
-        t.write_point(p)
+    with tr.phase("commit_h"):
+        for p in eng.commit_batch(h_chunks):
+            t.write_point(p)
 
     x = t.squeeze_challenge()
     xn = pow(x, n, R)
 
     # -- evaluations -------------------------------------------------------
+    tr_e = tr.phase("evals")
+    tr_e.__enter__()
     for ci, rot in cs.advice_queries:
         t.write_scalar(eng.eval_poly(advice_polys[ci], rotate_omega(d, x, rot)))
     for ci, rot in cs.fixed_queries:
@@ -413,6 +430,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         t.write_scalar(eng.eval_poly(lk_s["a_poly"], x_prev))
         t.write_scalar(eng.eval_poly(lk_s["s_poly"], x))
 
+    tr_e.__exit__(None, None, None)
     # -- multiopen queries (order pins SHPLONK set structure) --------------
     # fold h chunks with x^n (Horner from last chunk)
     h_folded = eng.const_vec(0, n)
@@ -447,5 +465,6 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             h_folded=h_folded, queries=queries, engine=eng,
             theta=theta, beta=beta, gamma=gamma, y=y, x=x,
         ))
-    shplonk_open(t, srs, d, queries, x, eng)
+    with tr.phase("shplonk"):
+        shplonk_open(t, srs, d, queries, x, eng)
     return bytes(t.proof)

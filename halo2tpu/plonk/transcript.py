@@ -11,7 +11,7 @@ The contract's transcript (contract.sol:89-112):
 from __future__ import annotations
 
 from ..fields.bn254 import R, to_bytes_be
-from ..ops.keccak import keccak256
+from ..native import keccak256  # C++ when available, python fallback
 
 
 class KeccakTranscript:

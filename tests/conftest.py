@@ -35,3 +35,20 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: XLA:CPU compile-heavy test (JaxEngine end-to-end); run with "
+        "HALO2TPU_RUN_SLOW=1 — the TPU bench covers these paths on hardware")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if os.environ.get("HALO2TPU_RUN_SLOW") == "1":
+        return
+    skip = _pytest.mark.skip(reason="slow (set HALO2TPU_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

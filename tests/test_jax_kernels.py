@@ -74,6 +74,7 @@ def test_jpoint_parity():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_msm_parity():
     from halo2tpu.curves import g1 as G1
     from halo2tpu.ops.msm import MSMContext
@@ -84,6 +85,7 @@ def test_msm_parity():
     assert ctx.commit(sv) == G1.msm(pts, sv)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_jax_engine_proof_byte_parity():
     """The TPU engine must produce byte-identical proofs to the host
