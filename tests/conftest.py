@@ -12,8 +12,18 @@ devices.  So: re-exec pytest once with a scrubbed environment.
 import os
 import sys
 
-if os.environ.get("HALO2TPU_TEST_REEXEC") != "1" and "axon" in os.environ.get(
-        "JAX_PLATFORMS", ""):
+_NEEDS_REEXEC = (os.environ.get("HALO2TPU_TEST_REEXEC") != "1"
+                 and "axon" in os.environ.get("JAX_PLATFORMS", ""))
+
+if not _NEEDS_REEXEC:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8")
+
+
+def _reexec(argv) -> "int":
     import subprocess
     env = dict(os.environ)
     env["HALO2TPU_TEST_REEXEC"] = "1"
@@ -27,17 +37,21 @@ if os.environ.get("HALO2TPU_TEST_REEXEC") != "1" and "axon" in os.environ.get(
     if repo_root not in pp:
         pp.insert(0, repo_root)
     env["PYTHONPATH"] = os.pathsep.join(pp)
-    rc = subprocess.call(
-        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env)
-    os._exit(rc)
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    return subprocess.call(
+        [sys.executable, "-m", "pytest"] + list(argv), env=env)
 
 
 def pytest_configure(config):
+    if _NEEDS_REEXEC:
+        # Re-exec inside pytest_configure (not at import time) so we can
+        # suspend pytest's fd-level capture first — otherwise the child's
+        # output lands in the parent's capture tempfile and is discarded
+        # when we os._exit.
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.suspend_global_capture(in_=True)
+        rc = _reexec(config.invocation_params.args)
+        os._exit(rc)
     config.addinivalue_line(
         "markers",
         "slow: XLA:CPU compile-heavy test (JaxEngine end-to-end); run with "
