@@ -111,7 +111,11 @@ def _bit_partials_traced(points, scalar_limbs, fold_width=_FOLD_WIDTH):
     def one_bit(b):
         limb = b // 16
         shift = b % 16
-        bits = ((scalar_limbs[:, :, limb] >> shift) & 1).reshape(bsz, rows, C)
+        # keep the mask in the point dtype: a traced int32 shift amount
+        # would otherwise promote the carry to int32 and break the
+        # fori_loop carry-type invariant
+        bits = ((scalar_limbs[:, :, limb] >> shift) & 1).reshape(
+            bsz, rows, C).astype(pts_b.dtype)
 
         def fold_row(i, acc):
             pts_row = pts_b[:, i]

@@ -80,13 +80,15 @@ def get_plan(n: int, omega: int) -> NTTPlan:
 
 @partial(jax.jit, static_argnums=0)
 def ntt(plan: NTTPlan, a):
-    """Forward in-order NTT of (n, 16) Montgomery-form limbs:
-    out[i] = sum_j a[j] omega^(ij)."""
+    """Forward in-order NTT over axis 0 of (n, ..., 16) Montgomery-form
+    limbs: out[i] = sum_j a[j] omega^(ij).  Interior axes are batch dims
+    (the four-step sharded NTT transforms matrix columns in place)."""
     x0 = a[plan.perm]
+    tw_shape = (plan.n // 2,) + (1,) * (a.ndim - 2) + (16,)
 
     def stage(s, x):
         e = x[plan.idx_even[s]]
-        o = mont_mul(FR, x[plan.idx_odd[s]], plan.tw[s])
+        o = mont_mul(FR, x[plan.idx_odd[s]], plan.tw[s].reshape(tw_shape))
         lo = add(FR, e, o)
         hi = sub(FR, e, o)
         return jnp.concatenate([lo, hi], axis=0)[plan.unperm[s]]
