@@ -195,6 +195,9 @@ class Assignment:
         self.instance = [np.zeros(n, dtype=object) for _ in range(cs.num_instance)]
         self.copies: list[tuple[tuple[Column, int], tuple[Column, int]]] = []
         self.usable = cs.usable_rows(n)
+        # permutation membership as a set: copy() is called O(cells) times
+        # and a list scan over hundreds of columns dominates synthesis
+        self._perm_set = frozenset(cs.permutation_columns)
 
     def assign(self, col: Column, row: int, value: int) -> None:
         assert 0 <= row < self.usable, f"row {row} outside usable region [0,{self.usable})"
@@ -213,7 +216,7 @@ class Assignment:
 
     def copy(self, a: tuple[Column, int], b: tuple[Column, int]) -> None:
         for col, _row in (a, b):
-            assert col in self.cs.permutation_columns, f"{col} lacks enable_equality"
+            assert col in self._perm_set, f"{col} lacks enable_equality"
         self.copies.append((a, b))
 
     def column_values(self, col: Column) -> np.ndarray:
