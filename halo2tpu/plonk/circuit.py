@@ -27,10 +27,41 @@ from .expression import (
 )
 
 
-@dataclass(frozen=True, order=True)
 class Column:
-    kind: str  # 'advice' | 'fixed' | 'instance'
-    index: int
+    """A column handle.  Hand-rolled (not a dataclass): synthesis hashes and
+    compares columns millions of times via copy()/assign()."""
+
+    __slots__ = ("kind", "index", "_hash")
+
+    def __init__(self, kind: str, index: int):
+        self.kind = kind    # 'advice' | 'fixed' | 'instance'
+        self.index = index
+        self._hash = hash((kind, index))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (self is other
+                or (isinstance(other, Column) and self.kind == other.kind
+                    and self.index == other.index))
+
+    def __lt__(self, other):
+        return (self.kind, self.index) < (other.kind, other.index)
+
+    def __repr__(self):
+        return f"Column({self.kind!r}, {self.index})"
+
+    # __slots__ + legacy (dataclass-era pickle cache) compatibility
+    def __getstate__(self):
+        return (self.kind, self.index)
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            kind, index = state["kind"], state["index"]
+        else:
+            kind, index = state[:2]
+        self.__init__(kind, index)
 
 
 @dataclass
