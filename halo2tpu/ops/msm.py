@@ -76,9 +76,70 @@ def _fold_tail_step(acc, stride):
     return _psel(keep[None, None, :], folded, acc)
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("HALO2TPU_NO_PALLAS") == "1":
+        return False
+    if os.environ.get("HALO2TPU_PALLAS") == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+@partial(jax.jit, donate_argnums=0, static_argnums=(4, 5))
+def _pallas_row_step(acc, pts_lm, scalar_limbs, r, C, tile):
+    """One pallas MSM row fold: add the masked r-th group of C base points
+    into every (bit-plane, batch) accumulator group.  acc may carry padding
+    lanes beyond 254*B*C (kept inert by zero mask bits)."""
+    from .pallas_ec import _fold_mixed_tiled
+    bsz = scalar_limbs.shape[0]
+    pts_c = jax.lax.dynamic_slice_in_dim(pts_lm, r * C, C, axis=2)
+    sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
+    shifts = jnp.arange(LIMB_BITS_SC, dtype=jnp.uint32)
+    bits = (sc[:, :, :, None] >> shifts) & jnp.uint32(1)   # (B, C, 16, 16)
+    bits = bits.reshape(bsz, -1, 256)
+    bits = jnp.moveaxis(bits, -1, 0)[:SCALAR_BITS]          # (254, B, C)
+    bits = bits.reshape(1, -1)
+    pad = acc.shape[-1] - bits.shape[-1]
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    return _fold_mixed_tiled(acc, pts_c, bits, tile)
+
+
+def _bit_partials_pallas(points_lm, scalar_limbs, fold_width=None):
+    """Pallas fold pipeline: points_lm (3, 16, n) limb-major; scalar_limbs
+    (B, n, 16).  Returns (B, 254, 3, 16)."""
+    from .pallas_ec import (_pick_tile, fold_add_any, from_limb_major,
+                            identity_lm)
+    n = points_lm.shape[-1]
+    bsz = scalar_limbs.shape[0]
+    C = min(n, fold_width or _FOLD_WIDTH)
+    rows = n // C
+    G = SCALAR_BITS * bsz
+    L = G * C
+    tile = _pick_tile(L, C)
+    lpad = -L % tile           # pad lanes to the tile grid (masked inert)
+    acc = identity_lm(L + lpad)
+    for r in range(rows):
+        acc = _pallas_row_step(acc, points_lm, scalar_limbs, r, C, tile)
+    acc = acc[:, :, :L]
+    width = C
+    while width > 1:
+        half = width // 2
+        a4 = acc.reshape(3, 16, G, width)
+        acc = fold_add_any(a4[..., :half].reshape(3, 16, G * half),
+                           a4[..., half:].reshape(3, 16, G * half))
+        width = half
+    out = from_limb_major(acc, (SCALAR_BITS, bsz))          # (254, B, 3, 16)
+    return jnp.transpose(out, (1, 0, 2, 3))
+
+
 def _bit_partials(points, scalar_limbs, fold_width=None):
     """points: (n, 3, 16); scalar_limbs: (B, n, 16) plain (non-Montgomery)
     16-bit limbs.  Returns (B, 254, 3, 16): per-bit masked sums."""
+    if _use_pallas():
+        from .pallas_ec import to_limb_major
+        return _bit_partials_pallas(to_limb_major(points), scalar_limbs,
+                                    fold_width)
     n = points.shape[0]
     bsz = scalar_limbs.shape[0]
     C = min(n, fold_width or _FOLD_WIDTH)

@@ -219,10 +219,16 @@ class JaxEngine:
         return self._commit(self._msm_coeff, vecs)
 
     def _commit(self, ctx: MSMContext, vecs):
+        import os, sys, time
         from ..ops.msm import _bit_partials, _partials_to_affine
+        verbose = os.environ.get("HALO2TPU_VERBOSE") == "1"
+        t0 = time.time()
         out = []
         npad = ctx.points.shape[0]
         for i in range(0, len(vecs), self.msm_batch):
+            if verbose and i:
+                print(f"    msm {i}/{len(vecs)} t={time.time()-t0:.1f}s",
+                      file=sys.stderr, flush=True)
             chunk = list(vecs[i:i + self.msm_batch])
             real = len(chunk)
             # pad the batch to a fixed size: the MSM step kernels compile

@@ -84,10 +84,12 @@ def build_permutation_sigmas(cs: ConstraintSystem, n: int,
     return sigmas
 
 
-def keygen(circuit: Circuit, k: int, srs: SRS, engine=None):
+def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
     """engine=None uses host (python-int) polynomial ops; pass a
     plonk.engine JaxEngine to run the keygen NTTs/MSMs on device (required
     in practice for wide circuits — hundreds of fixed/sigma columns)."""
+    from ..utils.trace import NULL
+    tr = tracer or NULL
     cs = ConstraintSystem()
     config = circuit.configure(cs)
     n = 1 << k
@@ -97,11 +99,13 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None):
     domain = make_domain(k, cs.degree())
 
     # run synthesis once to extract fixed values + copy constraints
-    asn = Assignment(cs, n)
-    circuit.synthesize(config, asn)
+    with tr.phase("kg_synthesize"):
+        asn = Assignment(cs, n)
+        circuit.synthesize(config, asn)
 
-    fixed_values = [col.copy() for col in asn.fixed]
-    sigma_values = build_permutation_sigmas(cs, n, asn.copies)
+    with tr.phase("kg_sigmas"):
+        fixed_values = [col.copy() for col in asn.fixed]
+        sigma_values = build_permutation_sigmas(cs, n, asn.copies)
 
     if engine is None:
         fixed_polys = [lagrange_to_coeff([int(v) for v in col], domain.omega)
@@ -112,15 +116,18 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None):
                        for col in sigma_values]
         sigma_commitments = [srs.commit_lagrange(col) for col in sigma_values]
     else:
-        fixed_dev = [engine.from_ints([int(v) for v in col])
-                     for col in fixed_values]
-        sigma_dev = [engine.from_ints(col) for col in sigma_values]
-        fixed_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
-                       for v in fixed_dev]
-        sigma_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
-                       for v in sigma_dev]
-        fixed_commitments = engine.commit_lagrange_batch(fixed_dev)
-        sigma_commitments = engine.commit_lagrange_batch(sigma_dev)
+        with tr.phase("kg_encode"):
+            fixed_dev = [engine.from_ints([int(v) for v in col])
+                         for col in fixed_values]
+            sigma_dev = [engine.from_ints(col) for col in sigma_values]
+        with tr.phase("kg_intt"):
+            fixed_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
+                           for v in fixed_dev]
+            sigma_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
+                           for v in sigma_dev]
+        with tr.phase("kg_commit"):
+            fixed_commitments = engine.commit_lagrange_batch(fixed_dev)
+            sigma_commitments = engine.commit_lagrange_batch(sigma_dev)
 
     instances = circuit.instances()
     num_instance_rows = [len(col) for col in instances]
@@ -173,7 +180,7 @@ def load_proving_key(path: str) -> ProvingKey:
 
 
 def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
-                  engine=None, cache_dir: str | None = None):
+                  engine=None, cache_dir: str | None = None, tracer=None):
     """keygen with on-disk pk/vk persistence, keyed by caller-supplied
     cache_key (circuit family + parameters)."""
     import os
@@ -184,6 +191,6 @@ def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
     if os.path.exists(path):
         pk = load_proving_key(path)
         return pk, pk.vk
-    pk, vk = keygen(circuit, k, srs, engine=engine)
+    pk, vk = keygen(circuit, k, srs, engine=engine, tracer=tracer)
     save_proving_key(pk, path)
     return pk, vk
