@@ -33,6 +33,16 @@ from ..fields.jfield import NLIMB, ints_to_limbs
 SCALAR_BITS = 254
 LIMB_BITS_SC = 16
 
+# Windowed fixed-base fold (the TPU Pippenger replacement): the SRS bases
+# are fixed across every commitment, so each base precomputes a 16-entry
+# table of affine multiples w*P (one-time, device-side) and the fold walks
+# 64 4-bit digit planes instead of 254 bit planes — ~4x fewer Jacobian
+# adds, paid for with a W-way in-VMEM select per lane (~W cheap vector ops
+# vs ~11 field muls per add).
+WINDOW_BITS = 4
+TABLE_W = 1 << WINDOW_BITS          # multiples per base, incl. identity
+NUM_WINDOWS = 256 // WINDOW_BITS    # digit planes (top planes of <2^254 are 0)
+
 
 _FOLD_WIDTH = 128   # C: point-lanes per fold step (254*B*C live accumulator lanes)
 
@@ -131,6 +141,131 @@ def _bit_partials_pallas(points_lm, scalar_limbs, fold_width=None):
         width = half
     out = from_limb_major(acc, (SCALAR_BITS, bsz))          # (254, B, 3, 16)
     return jnp.transpose(out, (1, 0, 2, 3))
+
+
+def _normalize_lm(jac_lm):
+    """(3, 16, m) Jacobian limb-major -> affine (z = Montgomery 1, identity
+    lanes keep z = 0) via ONE Fq batch inversion."""
+    from ..fields.jfield import FQ as JFQ, batch_inv_scan, mont_mul as fmul
+    from .pallas_ec import from_limb_major, to_limb_major
+    arr = from_limb_major(jac_lm, (jac_lm.shape[-1],))     # (m, 3, 16)
+    x, y, z = arr[:, 0], arr[:, 1], arr[:, 2]
+    inf = jnp.all(z == 0, axis=-1)
+    one = jnp.broadcast_to(JFQ.one_mont, z.shape)
+    z_safe = jnp.where(inf[:, None], one, z)
+    zi = batch_inv_scan(JFQ, z_safe)
+    zi2 = fmul(JFQ, zi, zi)
+    zi3 = fmul(JFQ, zi2, zi)
+    xa = fmul(JFQ, x, zi2)
+    ya = fmul(JFQ, y, zi3)
+    za = jnp.where(inf[:, None], jnp.zeros_like(z), one)
+    return to_limb_major(jnp.stack([xa, ya, za], axis=1))
+
+
+def precompute_window_table(points_lm):
+    """points_lm (3, 16, n) affine bases -> (3, 16*TABLE_W, n) table with
+    tab[:, 16w:16w+16, i] = affine w*P_i (w = 0 and padded bases: z = 0).
+    One-time per SRS: TABLE_W-2 full pallas adds + one batched inversion."""
+    from .pallas_ec import fold_add_any, identity_lm
+    n = points_lm.shape[-1]
+    jacs = [points_lm]
+    cur = points_lm
+    for _ in range(2, TABLE_W):
+        # fold_add_any donates arg 0; cur is kept in jacs (and is initially
+        # points_lm itself), so hand it a fresh buffer each step
+        cur = fold_add_any(jnp.copy(cur), points_lm)
+        jacs.append(cur)
+    aff = _normalize_lm(jnp.concatenate(jacs, axis=-1))
+    slots = [identity_lm(n)] + [
+        jax.lax.dynamic_slice_in_dim(aff, w * n, n, axis=2)
+        for w in range(TABLE_W - 1)]
+    return jnp.concatenate(slots, axis=1)
+
+
+def _window_digits(sc):
+    """(B, C, 16) 16-bit scalar limbs -> (NUM_WINDOWS, B, C) 4-bit digits."""
+    bsz, c = sc.shape[0], sc.shape[1]
+    shifts = jnp.arange(0, LIMB_BITS_SC, WINDOW_BITS, dtype=jnp.uint32)
+    d = (sc[:, :, :, None] >> shifts) & jnp.uint32(TABLE_W - 1)
+    d = d.reshape(bsz, c, NUM_WINDOWS)
+    return jnp.moveaxis(d, -1, 0)
+
+
+@partial(jax.jit, donate_argnums=0, static_argnums=(4, 5))
+def _pallas_row_step_w(acc, table, scalar_limbs, r, C, tile):
+    """One windowed pallas row fold: select-and-add the r-th group of C
+    bases' digit multiples into every (digit-plane, batch) group."""
+    from .pallas_ec import _fold_windowed_tiled
+    tab_c = jax.lax.dynamic_slice_in_dim(table, r * C, C, axis=2)
+    sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
+    digs = _window_digits(sc).reshape(1, -1)
+    pad = acc.shape[-1] - digs.shape[-1]
+    if pad:
+        digs = jnp.pad(digs, ((0, 0), (0, pad)))   # digit 0 -> inert
+    return _fold_windowed_tiled(acc, tab_c, digs, tile, TABLE_W)
+
+
+def _digit_partials_pallas(table, scalar_limbs, fold_width=None):
+    """Windowed fold pipeline: table (3, 16*W, n); scalar_limbs (B, n, 16)
+    plain limbs.  Returns (B, NUM_WINDOWS, 3, 16) per-digit-plane sums."""
+    from .pallas_ec import (_pick_tile, fold_add_any, from_limb_major,
+                            identity_lm)
+    n = table.shape[-1]
+    bsz = scalar_limbs.shape[0]
+    C = min(n, fold_width or _FOLD_WIDTH)
+    rows = n // C
+    G = NUM_WINDOWS * bsz
+    L = G * C
+    tile = _pick_tile(L, C)
+    lpad = -L % tile
+    acc = identity_lm(L + lpad)
+    for r in range(rows):
+        acc = _pallas_row_step_w(acc, table, scalar_limbs, r, C, tile)
+    acc = acc[:, :, :L]
+    width = C
+    while width > 1:
+        half = width // 2
+        a4 = acc.reshape(3, 16, G, width)
+        acc = fold_add_any(a4[..., :half].reshape(3, 16, G * half),
+                           a4[..., half:].reshape(3, 16, G * half))
+        width = half
+    out = from_limb_major(acc, (NUM_WINDOWS, bsz))
+    return jnp.transpose(out, (1, 0, 2, 3))
+
+
+@partial(jax.jit, donate_argnums=())
+def _horner_device_w(partials):
+    """(B, NUM_WINDOWS, 3, 16) -> (B, 3, 16): acc = 16*acc + partial[d],
+    top digit plane down, on device."""
+    from ..curves.jpoint import pdbl
+
+    bsz = partials.shape[0]
+
+    def body(i, acc):
+        d = NUM_WINDOWS - 1 - i
+        for _ in range(WINDOW_BITS):
+            acc = pdbl(acc)
+        return padd(acc, partials[:, d])
+
+    return jax.lax.fori_loop(0, NUM_WINDOWS, body, identity_points((bsz,)))
+
+
+def _wpartials_to_affine(partials) -> list:
+    """(B, NUM_WINDOWS, 3, 16) device digit-plane sums -> B host affine."""
+    if jax.default_backend() != "cpu":
+        return device_to_affine(_horner_device_w(partials))
+    host = device_to_affine(partials.reshape(-1, 3, NLIMB))
+    out = []
+    for b in range(partials.shape[0]):
+        rows = host[b * NUM_WINDOWS:(b + 1) * NUM_WINDOWS]
+        acc = (1, 1, 0)
+        for p in reversed(rows):
+            for _ in range(WINDOW_BITS):
+                acc = G1.jac_double(acc)
+            if p is not None:
+                acc = G1.jac_add(acc, G1.to_jacobian(p))
+        out.append(G1.from_jacobian(acc))
+    return out
 
 
 def _bit_partials(points, scalar_limbs, fold_width=None):
@@ -261,7 +396,8 @@ def _partials_to_affine(partials) -> list:
 
 
 class MSMContext:
-    """Caches device-resident SRS bases (padded to a power of two)."""
+    """Caches device-resident SRS bases (padded to a power of two) and,
+    on the pallas path, their windowed multiple table (lazily built)."""
 
     def __init__(self, points: list):
         n = len(points)
@@ -269,9 +405,29 @@ class MSMContext:
         pts = list(points) + [None] * (npad - n)
         self.n = n
         self.points = affine_to_device(pts)
+        self._table = None
+
+    @property
+    def table(self):
+        if self._table is None:
+            from .pallas_ec import to_limb_major
+            self._table = precompute_window_table(to_limb_major(self.points))
+        return self._table
+
+    def commit_limbs(self, plain_limbs) -> list:
+        """(B, npad, 16) plain scalar limbs (device) -> B host affine."""
+        if _use_pallas():
+            return _wpartials_to_affine(
+                _digit_partials_pallas(self.table, plain_limbs))
+        return _partials_to_affine(_bit_partials(self.points, plain_limbs))
 
     def commit_batch(self, scalar_vectors: list[list[int]]) -> list:
-        return msm(self.points, scalar_vectors)
+        npad = self.points.shape[0]
+        arrs = []
+        for scalars in scalar_vectors:
+            s = [v % R for v in scalars] + [0] * (npad - len(scalars))
+            arrs.append(ints_to_limbs(s))
+        return self.commit_limbs(jnp.asarray(np.stack(arrs)))
 
     def commit(self, scalars: list[int]):
         return self.commit_batch([scalars])[0]

@@ -84,6 +84,16 @@ class HostEngine:
             out[i] = acc
         return out
 
+    def load_poly(self, p):
+        """Accept a pk-stored polynomial: python-int list, or (n, 16)
+        Montgomery-limb numpy array (written by a JaxEngine keygen)."""
+        if isinstance(p, np.ndarray) and p.dtype == np.uint32:
+            return JFR.decode(jnp.asarray(p))
+        return p
+
+    def store_poly(self, vec):
+        return list(vec)
+
     # transforms
     def lagrange_to_coeff(self, vec):
         return polyops.intt(vec, self.d.omega)
@@ -220,7 +230,6 @@ class JaxEngine:
 
     def _commit(self, ctx: MSMContext, vecs):
         import os, sys, time
-        from ..ops.msm import _bit_partials, _partials_to_affine
         verbose = os.environ.get("HALO2TPU_VERBOSE") == "1"
         t0 = time.time()
         out = []
@@ -240,8 +249,7 @@ class JaxEngine:
                                               jnp.uint32)], axis=0)
                 if v.shape[0] < npad else v for v in chunk])
             plain = JFR.from_mont(stacked)  # MSM wants plain scalar limbs
-            partials = _bit_partials(ctx.points, plain)
-            out.extend(_partials_to_affine(partials)[:real])
+            out.extend(ctx.commit_limbs(plain)[:real])
         return out
 
 

@@ -86,6 +86,25 @@ def test_fold_add_any_parity():
 
 
 @pytest.mark.slow
+def test_window_table_parity():
+    """Precomputed multiple table entries equal w*P for every base."""
+    os.environ["HALO2TPU_PALLAS"] = "1"
+    try:
+        from halo2tpu.ops.msm import TABLE_W, precompute_window_table
+        n = 8
+        pts = [G1.scalar_mul(G1_GEN, 5 + i) for i in range(n - 1)] + [None]
+        tab = precompute_window_table(to_limb_major(affine_to_device(pts)))
+        for w in range(TABLE_W):
+            got = device_to_affine(
+                from_limb_major(tab[:, 16 * w:16 * (w + 1), :], (n,)))
+            exp = [None if (p is None or w == 0) else G1.scalar_mul(p, w)
+                   for p in pts]
+            assert got == exp, f"window {w}"
+    finally:
+        os.environ.pop("HALO2TPU_PALLAS", None)
+
+
+@pytest.mark.slow
 def test_msm_pallas_interpret_parity():
     os.environ["HALO2TPU_PALLAS"] = "1"
     try:
