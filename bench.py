@@ -1,0 +1,222 @@
+"""halo2tpu benchmark harness (BASELINE.md metric set).
+
+Run on the real TPU chip: per-kernel throughput with speed-of-light bounds
+derived from HBM bandwidth, full create_proof wall times, and (on CPU
+meshes) 1->N device scaling efficiency for NTT/MSM.
+
+Prints ONE parseable JSON line on stdout (last line):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: RSA-SHA256 (k=15, reference flagship, lib.rs:256-452) full
+real-prover proof latency.  vs_baseline = reference CPU time (14.442 s,
+/root/reference/README.md:19 — MockProver synthesis+check) divided by ours,
+i.e. >1 means faster than the reference point.
+
+Levels (env BENCH_LEVEL): "fast" = kernels + Square proof only;
+"full" (default) = + RSA-SHA256 k=15 real proof; "all" = + composite
+Aadhaar proof + scaling sweep.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+RESULTS: dict = {}
+ERRORS: list[str] = []
+
+# v5e: ~819 GB/s HBM, 394 bf16 TFLOP/s. Field elements are 64 B (16xu32).
+HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
+ELEM_BYTES = 64
+
+RSA_BASELINE_S = 14.442124258      # /root/reference/README.md:19
+AADHAAR_TARGET_S = 2.0             # BASELINE.md target row
+
+
+def _bench(fn, *args, warmup=1, iters=3):
+    """Median wall time of fn(*args) with block_until_ready."""
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_kernels():
+    import jax
+    import jax.numpy as jnp
+    from halo2tpu.fields.bn254 import R, fr_root_of_unity
+    from halo2tpu.fields.jfield import FR, mont_mul
+    from halo2tpu.ops import ntt as jntt
+
+    rng = np.random.default_rng(0)
+
+    # --- mont_mul throughput ------------------------------------------------
+    n = 1 << 20
+    a = FR.encode([int.from_bytes(rng.bytes(31), "big") % R for v in range(256)])
+    a = jnp.tile(a, (n // 256, 1))
+    b = jnp.roll(a, 1, axis=0)
+    t = _bench(lambda x, y: mont_mul(FR, x, y), a, b)
+    # speed of light: 2 reads + 1 write of 64 B per element over HBM
+    sol = HBM_GBPS * 1e9 / (3 * ELEM_BYTES)
+    RESULTS["mont_mul"] = {
+        "n": n, "s": round(t, 6), "melem_per_s": round(n / t / 1e6, 1),
+        "sol_melem_per_s": round(sol / 1e6, 1),
+        "sol_frac": round(n / t / sol, 3)}
+
+    # --- NTT k=15..20 -------------------------------------------------------
+    ntt_rows = {}
+    for k in (15, 18, 20):
+        nn = 1 << k
+        plan = jntt.get_plan(nn, fr_root_of_unity(k))
+        x = jnp.tile(a[:256], (nn // 256, 1))
+        t = _bench(lambda v: jntt.ntt(plan, v), x)
+        # each of logn stages streams n elems in + out, plus twiddle reads:
+        # ~3 * n * 64 B per stage
+        sol_t = k * 3 * nn * ELEM_BYTES / (HBM_GBPS * 1e9)
+        ntt_rows[f"k{k}"] = {
+            "s": round(t, 5), "sol_s": round(sol_t, 5),
+            "sol_frac": round(sol_t / t, 3)}
+    RESULTS["ntt"] = ntt_rows
+
+    # --- MSM (windowed fixed-base fold) ------------------------------------
+    from halo2tpu.ops.msm import MSMContext
+    from halo2tpu.curves import g1 as G1
+    from halo2tpu.fields.bn254 import G1_GEN
+    msm_rows = {}
+    for k in (12, 15):
+        nn = 1 << k
+        # synthetic distinct bases: (2i+1) * G — host gen is slow, keep n modest
+        base = G1.scalar_mul(G1_GEN, 12345)
+        pts = [base]
+        for i in range(min(nn, 64) - 1):
+            pts.append(G1.add(pts[-1], G1_GEN))
+        pts = (pts * (nn // len(pts)))[:nn]
+        ctx = MSMContext(pts)
+        scalars = [[int.from_bytes(rng.bytes(31), "big") % R for _ in range(nn)]
+                   for _ in range(4)]
+        t0 = time.perf_counter()
+        ctx.commit_batch(scalars)      # includes table build + compile
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ctx.commit_batch(scalars)
+        steady = time.perf_counter() - t0
+        msm_rows[f"k{k}"] = {
+            "batch": 4, "first_s": round(first, 3),
+            "s_per_msm": round(steady / 4, 4),
+            "mpoints_per_s": round(4 * nn / steady / 1e6, 2)}
+    RESULTS["msm"] = msm_rows
+
+
+def bench_square_proof():
+    from halo2tpu.circuits.signal import SquareCircuit
+    from halo2tpu.plonk.keygen import keygen
+    from halo2tpu.plonk.prover import create_proof
+    from halo2tpu.plonk.srs import setup
+    from halo2tpu.plonk.verifier import verify_proof
+
+    from halo2tpu.plonk.engine import make_engine
+    srs = setup(4)
+    c = SquareCircuit(5)
+    pk, vk = keygen(c, 4, srs)
+    eng = make_engine("jax", vk.domain, srs)
+    # warm (compile) + timed
+    create_proof(pk, srs, c, c.instances(), rng_seed=42, engine=eng)
+    t0 = time.perf_counter()
+    proof = create_proof(pk, srs, c, c.instances(), rng_seed=42, engine=eng)
+    t = time.perf_counter() - t0
+    assert len(proof) == 0x0460
+    t0 = time.perf_counter()
+    ok = verify_proof(vk, srs, c.instances(), proof)
+    tv = time.perf_counter() - t0
+    assert ok
+    RESULTS["square_proof"] = {
+        "prove_s": round(t, 4), "verify_s": round(tv, 4),
+        "ref_prove_s": 0.012089368, "proof_bytes": len(proof)}
+
+
+def bench_rsa_proof():
+    """Flagship: RSA-SHA256 k=15 real proof on the JAX engine."""
+    from halo2tpu.utils.trace import Tracer
+    from halo2tpu.circuits.rsa_sha256 import RSASha256Circuit
+    from halo2tpu.plonk.engine import make_engine
+    from halo2tpu.plonk.keygen import keygen_cached
+    from halo2tpu.plonk.prover import create_proof
+    from halo2tpu.plonk.srs import setup
+    from halo2tpu.plonk.verifier import verify_proof
+    from halo2tpu.utils.rsa_native import generate_key, sign_pkcs1v15_sha256
+
+    k = 15
+    msg = bytes(range(256)) * 4      # 1024 B = reference MSG_LEN (lib.rs:264)
+    key, n, e = generate_key(2048)
+    sig = sign_pkcs1v15_sha256(key, msg)
+    c = RSASha256Circuit(msg, n, sig)
+
+    srs = setup(k)
+    t0 = time.perf_counter()
+    pk, vk = keygen_cached(c, k, srs, cache_key="rsa_sha256_bench", engine="jax")
+    kg = time.perf_counter() - t0
+
+    eng = make_engine("jax", vk.domain, srs)
+    tr = Tracer("rsa_sha256_proof")
+    t0 = time.perf_counter()
+    proof = create_proof(pk, srs, c, c.instances(), rng_seed=3,
+                         engine=eng, tracer=tr)
+    t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = verify_proof(vk, srs, c.instances(), proof)
+    tv = time.perf_counter() - t0
+    assert ok, "rsa proof failed local verification"
+    RESULTS["rsa_sha256_proof"] = {
+        "k": k, "msg_bytes": len(msg), "keygen_s": round(kg, 2),
+        "prove_s": round(t, 3), "verify_s": round(tv, 3),
+        "ref_mock_s": RSA_BASELINE_S,
+        "phases": {p: round(v, 3) for p, v in tr.phases.items()}}
+    return t
+
+
+def main():
+    level = os.environ.get("BENCH_LEVEL", "full")
+    import jax
+    RESULTS["backend"] = jax.default_backend()
+    RESULTS["device"] = str(jax.devices()[0])
+
+    for name, fn in [("kernels", bench_kernels),
+                     ("square", bench_square_proof)]:
+        try:
+            fn()
+        except Exception:
+            ERRORS.append(f"{name}: {traceback.format_exc(limit=3)}")
+
+    headline = None
+    if level in ("full", "all"):
+        try:
+            headline = bench_rsa_proof()
+        except Exception:
+            ERRORS.append(f"rsa: {traceback.format_exc(limit=3)}")
+
+    if headline is not None:
+        line = {"metric": "rsa_sha256_proof_latency", "value": round(headline, 3),
+                "unit": "s", "vs_baseline": round(RSA_BASELINE_S / headline, 2)}
+    else:
+        sq = RESULTS.get("square_proof", {})
+        val = sq.get("prove_s")
+        line = {"metric": "square_proof_latency", "value": val, "unit": "s",
+                "vs_baseline": (round(0.012089368 / val, 2) if val else None)}
+    line["detail"] = RESULTS
+    if ERRORS:
+        line["errors"] = [e.splitlines()[-1] for e in ERRORS]
+        print("\n".join(ERRORS), file=sys.stderr)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,9 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
     assert cs.usable_rows(n) >= 1
 
     domain = make_domain(k, cs.degree())
+    if isinstance(engine, str):
+        from .engine import make_engine
+        engine = make_engine(engine, domain, srs)
 
     # run synthesis once to extract fixed values + copy constraints
     with tr.phase("kg_synthesize"):
