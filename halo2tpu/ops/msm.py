@@ -57,12 +57,17 @@ _FOLD_WIDTH = 128   # C: point-lanes per fold step (254*B*C live accumulator lan
 # per MSM batch, with every dispatch full of vector work (254*B*C lanes).
 
 @partial(jax.jit, donate_argnums=0)
-def _fold_row_step(acc, points, scalar_limbs, r):
-    """acc: (254, B, C, 3, 16); points: (n, 3, 16); scalar_limbs: (B, n, 16);
-    adds the masked r-th row of C points into every bit-plane of acc."""
-    C = acc.shape[2]
-    pts_row = jax.lax.dynamic_slice_in_dim(points, r * C, C, axis=0)
-    sc_row = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
+def _fold_row_step(acc, points_rows, scalar_rows, r):
+    """acc: (254, B, C, 3, 16); points_rows: (rows, C, 3, 16); scalar_rows:
+    (rows, B, C, 16); adds the masked r-th row of C points into every
+    bit-plane of acc.
+
+    The row axis is indexed with a dynamic slice on the UNSHARDED leading
+    axis, so the same compiled program runs single-chip or with the C axis
+    sharded over a mesh (GSPMD partitions the elementwise fold with zero
+    per-step communication — parallel/msm.py)."""
+    pts_row = jax.lax.dynamic_slice_in_dim(points_rows, r, 1, axis=0)[0]
+    sc_row = jax.lax.dynamic_slice_in_dim(scalar_rows, r, 1, axis=0)[0]
     # (B, C, 16 limbs) -> bits (254, B, C)
     shifts = jnp.arange(LIMB_BITS_SC, dtype=jnp.uint32)
     bits = (sc_row[:, :, :, None] >> shifts) & 1       # (B, C, 16, 16)
@@ -268,10 +273,15 @@ def _wpartials_to_affine(partials) -> list:
     return out
 
 
-def _bit_partials(points, scalar_limbs, fold_width=None):
+def _bit_partials(points, scalar_limbs, fold_width=None, shardings=None):
     """points: (n, 3, 16); scalar_limbs: (B, n, 16) plain (non-Montgomery)
-    16-bit limbs.  Returns (B, 254, 3, 16): per-bit masked sums."""
-    if _use_pallas():
+    16-bit limbs.  Returns (B, 254, 3, 16): per-bit masked sums.
+
+    shardings: optional (acc_sharding, pts_sharding, sc_sharding) triple of
+    NamedShardings over the fold-lane (C) axis — the multi-chip path
+    (parallel/msm.py) places the inputs and GSPMD partitions the same two
+    step kernels across the mesh."""
+    if shardings is None and _use_pallas():
         from .pallas_ec import to_limb_major
         return _bit_partials_pallas(to_limb_major(points), scalar_limbs,
                                     fold_width)
@@ -280,59 +290,22 @@ def _bit_partials(points, scalar_limbs, fold_width=None):
     C = min(n, fold_width or _FOLD_WIDTH)
     rows = n // C
     logc = C.bit_length() - 1
+    # (rows, C, ...) layouts: row slicing on the unsharded leading axis
+    pts_rows = points.reshape(rows, C, 3, points.shape[-1])
+    sc_rows = jnp.moveaxis(
+        scalar_limbs.reshape(bsz, rows, C, scalar_limbs.shape[-1]), 1, 0)
     acc = identity_points((SCALAR_BITS, bsz, C))
+    if shardings is not None:
+        acc_sh, pts_sh, sc_sh = shardings
+        acc = jax.device_put(acc, acc_sh)
+        pts_rows = jax.device_put(pts_rows, pts_sh)
+        sc_rows = jax.device_put(sc_rows, sc_sh)
     for r in range(rows):
-        acc = _fold_row_step(acc, points, scalar_limbs, r)
+        acc = _fold_row_step(acc, pts_rows, sc_rows, r)
     for l in range(logc):
         acc = _fold_tail_step(acc, C >> (l + 1))
     # (254, B, C, 3, 16) -> (B, 254, 3, 16)
     return jnp.transpose(acc[:, :, 0], (1, 0, 2, 3))
-
-
-def _bit_partials_traced(points, scalar_limbs, fold_width=_FOLD_WIDTH):
-    """Trace-safe variant for use INSIDE jit/shard_map (parallel pipeline):
-    compact graph — the 254-bit loop is a lax.map and each fold is a
-    fori_loop whose body traces ONE padd.  Slower to compile than the eager
-    Python-driven version but embeddable in SPMD programs."""
-    n = points.shape[0]
-    bsz = scalar_limbs.shape[0]
-    C = min(n, fold_width)
-    rows = n // C
-    logc = C.bit_length() - 1
-    idx = jnp.arange(C)
-    pts_b = jnp.broadcast_to(points, (bsz, n, 3, NLIMB)).reshape(
-        bsz, rows, C, 3, NLIMB)
-    ident_row = identity_points((bsz, C))
-
-    def one_bit(b):
-        limb = b // 16
-        shift = b % 16
-        # keep the mask in the point dtype: a traced int32 shift amount
-        # would otherwise promote the carry to int32 and break the
-        # fori_loop carry-type invariant
-        bits = ((scalar_limbs[:, :, limb] >> shift) & 1).reshape(
-            bsz, rows, C).astype(pts_b.dtype)
-
-        def fold_row(i, acc):
-            pts_row = pts_b[:, i]
-            z_masked = pts_row[..., 2, :] * bits[:, i][..., None]
-            sel = jnp.concatenate(
-                [pts_row[..., :2, :], z_masked[..., None, :]], axis=-2)
-            return padd_mixed(acc, sel)
-
-        acc = jax.lax.fori_loop(0, rows, fold_row, ident_row)
-
-        def fold_tail(l, acc):
-            stride = C >> (l + 1)
-            other = jnp.roll(acc, -stride, axis=1)
-            folded = padd(acc, other)
-            return _psel(idx < stride, folded, acc)
-
-        acc = jax.lax.fori_loop(0, logc, fold_tail, acc)
-        return acc[:, 0]
-
-    partials = jax.lax.map(one_bit, jnp.arange(SCALAR_BITS))
-    return jnp.transpose(partials, (1, 0, 2, 3))
 
 
 def msm(points_device, scalars_batch: list[list[int]]) -> list:

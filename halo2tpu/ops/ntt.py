@@ -2,10 +2,13 @@
 
 TPU-first design: iterative Cooley-Tukey over (n, 16) limb arrays.  Every
 stage is normalized to the same flat shape — gather even/odd halves, one
-full-width Montgomery butterfly, gather back — so the whole transform is a
+full-width Montgomery butterfly, scatter back — so the whole transform is a
 single fori_loop whose body is traced once (compile time is independent of
-n), driven by precomputed (logn, n/2) index tables and (logn, n/2, 16)
-twiddle tables baked in as constants.
+n).  Butterfly indices are *computed in-kernel* from the stage counter with
+shifts/masks (no per-stage index tables: a k=20 table set costs ~700 MB of
+HBM and minutes of host build time; the arithmetic costs a few VPU ops).
+The only tables are the bit-reversal permutation (n int32, built vectorized
+in numpy) and a flat half-size twiddle array omega^t, t < n/2.
 
 Replaces halo2's rayon-parallel best_fft; the multi-chip variant shards the
 leading axis and exchanges butterfly halves over ICI (parallel/ntt.py).
@@ -22,6 +25,14 @@ from ..fields.bn254 import R, inv_mod
 from ..fields.jfield import FR, add, ints_to_limbs, mont_mul, sub
 
 
+def _bit_reverse_perm(logn: int) -> np.ndarray:
+    """Vectorized bit-reversal permutation of 0..2^logn-1."""
+    perm = np.zeros(1 << logn, dtype=np.int64)
+    for b in range(logn):
+        perm = (perm << 1) | ((np.arange(1 << logn) >> b) & 1)
+    return perm.astype(np.int32)
+
+
 class NTTPlan:
     """Precomputed tables for size-n NTT with root omega.
     Hashable by (n, omega) for use as a static jit argument."""
@@ -32,38 +43,12 @@ class NTTPlan:
         self.omega = omega
         self.logn = n.bit_length() - 1
         assert pow(omega, n, R) == 1 and pow(omega, n // 2, R) != 1
-        perm = np.zeros(n, dtype=np.int32)
-        for i in range(n):
-            perm[i] = int(format(i, f"0{self.logn}b")[::-1], 2)
-        self.perm = jnp.asarray(perm)
-
-        idx_even = np.zeros((self.logn, n // 2), dtype=np.int32)
-        idx_odd = np.zeros((self.logn, n // 2), dtype=np.int32)
-        unperm = np.zeros((self.logn, n), dtype=np.int32)
-        tw = np.zeros((self.logn, n // 2, 16), dtype=np.uint32)
-        m = 1
-        for s in range(self.logn):
-            w_m = pow(omega, n // (2 * m), R)
-            tws = [1] * m
-            for j in range(1, m):
-                tws[j] = tws[j - 1] * w_m % R
-            tw_stage = ints_to_limbs([t * FR.r % R for t in tws])  # Montgomery
-            pos = 0
-            for blk in range(n // (2 * m)):
-                base = blk * 2 * m
-                for j in range(m):
-                    idx_even[s, pos] = base + j
-                    idx_odd[s, pos] = base + j + m
-                    tw[s, pos] = tw_stage[j]
-                    # lo (concat position pos) -> base+j; hi (pos + n/2) -> base+j+m
-                    unperm[s, base + j] = pos
-                    unperm[s, base + j + m] = pos + n // 2
-                    pos += 1
-            m *= 2
-        self.idx_even = jnp.asarray(idx_even)
-        self.idx_odd = jnp.asarray(idx_odd)
-        self.unperm = jnp.asarray(unperm)
-        self.tw = jnp.asarray(tw)
+        self.perm = jnp.asarray(_bit_reverse_perm(self.logn))
+        # flat twiddles omega^t (Montgomery form), t in [0, n/2)
+        tws = [FR.r % R] * (n // 2)
+        for t in range(1, n // 2):
+            tws[t] = tws[t - 1] * omega % R
+        self.tw_flat = jnp.asarray(ints_to_limbs(tws))
 
     def __hash__(self):
         return hash((self.n, self.omega))
@@ -83,17 +68,32 @@ def ntt(plan: NTTPlan, a):
     """Forward in-order NTT over axis 0 of (n, ..., 16) Montgomery-form
     limbs: out[i] = sum_j a[j] omega^(ij).  Interior axes are batch dims
     (the four-step sharded NTT transforms matrix columns in place)."""
+    n, logn = plan.n, plan.logn
     x0 = a[plan.perm]
-    tw_shape = (plan.n // 2,) + (1,) * (a.ndim - 2) + (16,)
+    half = n // 2
+    pos = jnp.arange(half, dtype=jnp.int32)
+    out_idx = jnp.arange(n, dtype=jnp.int32)
+    tw_shape = (half,) + (1,) * (a.ndim - 2) + (16,)
 
     def stage(s, x):
-        e = x[plan.idx_even[s]]
-        o = mont_mul(FR, x[plan.idx_odd[s]], plan.tw[s].reshape(tw_shape))
+        # stage s: blocks of m = 2^s butterflies; for flat butterfly pos p:
+        #   j = p & (m-1), even index = ((p >> s) << (s+1)) + j, odd = even+m
+        #   twiddle = omega^(j << (logn-1-s))
+        j = pos & ((1 << s) - 1)
+        even = ((pos >> s) << (s + 1)) + j
+        odd = even + (1 << s)
+        twi = j << (logn - 1 - s)
+        e = x[even]
+        o = mont_mul(FR, x[odd], plan.tw_flat[twi].reshape(tw_shape))
         lo = add(FR, e, o)
         hi = sub(FR, e, o)
-        return jnp.concatenate([lo, hi], axis=0)[plan.unperm[s]]
+        # inverse placement: output q comes from butterfly
+        #   p = ((q >> (s+1)) << s) + (q & (m-1)), hi half if bit s of q set
+        src = ((out_idx >> (s + 1)) << s) + (out_idx & ((1 << s) - 1))
+        is_hi = (out_idx >> s) & 1
+        return jnp.concatenate([lo, hi], axis=0)[src + is_hi * half]
 
-    return jax.lax.fori_loop(0, plan.logn, stage, x0)
+    return jax.lax.fori_loop(0, logn, stage, x0)
 
 
 def intt(plan_fwd: NTTPlan, a):

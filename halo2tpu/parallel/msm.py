@@ -1,10 +1,18 @@
-"""Multi-chip MSM: points sharded over the mesh, per-device bit partials,
-log(D) cross-device tree combine (SURVEY N5 scale-out).
+"""Multi-chip MSM: the fold-lane (C) axis of the two-kernel bit-serial MSM
+sharded over the mesh (SURVEY N5 scale-out).
 
-Each device runs the single-chip masked-tree MSM (ops/msm.py) on its point
-shard; the (B, 254, 3, 16) partial-sum tensors are all-gathered (tiny:
-~390KB) and folded with Jacobian adds, yielding replicated totals.  The
-Horner bit-combine stays on the host (254 doublings).
+Design: the single-chip MSM (ops/msm.py) is already a Python-driven loop
+over TWO small compiled kernels (row fold, strided tail fold).  Multi-chip
+is the SAME two kernels with the accumulator's lane axis sharded: every row
+fold is purely elementwise across lanes (zero communication), GSPMD inserts
+collective permutes only for the log2(C) tail folds whose stride crosses the
+shard boundary, and the final bit-plane partials land replicated.  The
+Horner bit-combine runs on device (ops/msm.py) or host.
+
+This replaces the earlier monolithic `shard_map`-traced MSM, whose single
+fused program took >5 min of XLA:CPU compile (the round-1 dryrun timeout):
+the stepped formulation compiles two ~1-padd graphs regardless of mesh size.
+Replaces halo2's rayon `best_multiexp` (SURVEY N15) with ICI-scale SPMD.
 """
 from __future__ import annotations
 
@@ -12,40 +20,40 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..curves.jpoint import padd
-from ..ops.msm import _bit_partials_traced, _partials_to_affine
+from ..ops.msm import _bit_partials, _partials_to_affine
 
 
 def make_sharded_msm(mesh: Mesh, axis: str = "shard"):
+    """Returns run(points_device, scalar_limbs) -> B host affine points.
+
+    points: (n, 3, 16); scalar_limbs: (B, n, 16) plain limbs.  The fold
+    width is n // n_devices-aligned so each device owns a contiguous lane
+    block."""
     ndev = mesh.devices.size
-    logd = max(1, ndev.bit_length() - 1) if ndev > 1 else 0
+    acc_sh = NamedSharding(mesh, P(None, None, axis, None, None))
+    pts_sh = NamedSharding(mesh, P(None, axis, None, None))
+    sc_sh = NamedSharding(mesh, P(None, None, axis, None))
 
-    def local(pts_local, limbs_local):
-        parts = _bit_partials_traced(pts_local, limbs_local)   # (B, 254, 3, 16)
-        allp = jax.lax.all_gather(parts, axis)          # (D, B, 254, 3, 16)
-        acc = allp
-        width = ndev
-        while width > 1:
-            half = width // 2
-            acc = padd(acc[:half], acc[half:2 * half])
-            width = half
-        return acc[0]
-
-    sharded = jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis, None, None), P(None, axis, None)),
-        out_specs=P(None, None, None, None),
-        check_vma=False))
-
-    pts_sharding = NamedSharding(mesh, P(axis, None, None))
-    sc_sharding = NamedSharding(mesh, P(None, axis, None))
-
-    def run(points_device, scalar_limbs) -> list:
-        """points: (n, 3, 16); scalar_limbs: (B, n, 16) plain limbs.
-        Returns B host affine points."""
-        pts = jax.device_put(points_device, pts_sharding)
-        sc = jax.device_put(scalar_limbs, sc_sharding)
-        partials = sharded(pts, sc)
+    def run(points_device, scalar_limbs, fold_width=None) -> list:
+        n = points_device.shape[0]
+        C = min(n, fold_width or max(ndev, 128))
+        assert C % ndev == 0, "fold width must split across the mesh"
+        partials = _bit_partials(points_device, scalar_limbs, fold_width=C,
+                                 shardings=(acc_sh, pts_sh, sc_sh))
         return _partials_to_affine(partials)
 
     return run
+
+
+def sharded_bit_partials(mesh: Mesh, points_device, scalar_limbs,
+                         fold_width=None, axis: str = "shard"):
+    """Device-resident variant: returns (B, 254, 3, 16) partials."""
+    ndev = mesh.devices.size
+    acc_sh = NamedSharding(mesh, P(None, None, axis, None, None))
+    pts_sh = NamedSharding(mesh, P(None, axis, None, None))
+    sc_sh = NamedSharding(mesh, P(None, None, axis, None))
+    n = points_device.shape[0]
+    C = min(n, fold_width or max(ndev, 128))
+    assert C % ndev == 0
+    return _bit_partials(points_device, scalar_limbs, fold_width=C,
+                         shardings=(acc_sh, pts_sh, sc_sh))

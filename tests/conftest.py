@@ -15,12 +15,19 @@ import sys
 _NEEDS_REEXEC = (os.environ.get("HALO2TPU_TEST_REEXEC") != "1"
                  and "axon" in os.environ.get("JAX_PLATFORMS", ""))
 
+def _cpu_test_flags(flags: str) -> str:
+    if "host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    if "xla_backend_optimization_level" not in flags:
+        # XLA:CPU compile time dominates the suite (field-arithmetic graphs
+        # are huge); codegen quality is irrelevant for correctness tests
+        flags += " --xla_backend_optimization_level=0"
+    return flags
+
+
 if not _NEEDS_REEXEC:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8")
+    os.environ["XLA_FLAGS"] = _cpu_test_flags(os.environ.get("XLA_FLAGS", ""))
 
 
 def _reexec(argv) -> "int":
@@ -28,9 +35,7 @@ def _reexec(argv) -> "int":
     env = dict(os.environ)
     env["HALO2TPU_TEST_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = _cpu_test_flags(env.get("XLA_FLAGS", ""))
     pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
           if p and ".axon_site" not in p]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
