@@ -10,7 +10,8 @@ vectors held in an engine-owned representation:
               (ops/ntt.py, ops/msm.py), elementwise ops fused by XLA
 
 The engines are transcript-compatible: both produce identical proof bytes
-for the same witness + rng seed (tested in tests/test_jax_engine.py).
+for the same witness + rng seed (tested in tests/test_jax_kernels.py,
+test_jax_engine_proof_byte_parity).
 """
 from __future__ import annotations
 

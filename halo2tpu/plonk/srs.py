@@ -73,12 +73,21 @@ class SRS:
         return G1.msm(self.g_lagrange[: len(values)], list(values))
 
 
-def setup(k: int, seed: bytes = b"halo2tpu-dev-srs", cache: bool = True) -> SRS:
+def setup(k: int, seed: bytes = b"halo2tpu-dev-srs", cache: bool = True,
+          keep_tau: bool = False) -> SRS:
+    """Dev-mode trusted setup.  `tau` (the toxic waste) is discarded — and
+    never pickled — unless keep_tau=True is passed explicitly for debugging
+    (a production SRS would be loaded from a ceremony transcript instead)."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
     path = os.path.join(_CACHE_DIR, f"srs_k{k}_{hashlib.sha256(seed).hexdigest()[:12]}.pkl")
     if cache and os.path.exists(path):
         with open(path, "rb") as f:
-            return pickle.load(f)
+            srs = pickle.load(f)
+        if not keep_tau:
+            srs.tau = None
+        elif srs.tau is None:
+            srs.tau = int.from_bytes(hashlib.sha512(seed).digest(), "big") % R
+        return srs
 
     n = 1 << k
     tau = int.from_bytes(hashlib.sha512(seed).digest(), "big") % R
@@ -104,8 +113,10 @@ def setup(k: int, seed: bytes = b"halo2tpu-dev-srs", cache: bool = True) -> SRS:
     g_lagrange = [table.mul(s) for s in lag_scalars]
 
     s_g2 = g2_scalar_mul(G2_GEN, tau)
-    srs = SRS(k, g, g_lagrange, G2_GEN, s_g2, tau=tau)
+    srs = SRS(k, g, g_lagrange, G2_GEN, s_g2, tau=None)
     if cache:
         with open(path, "wb") as f:
             pickle.dump(srs, f)
+    if keep_tau:
+        srs.tau = tau
     return srs
