@@ -44,6 +44,16 @@ class _Cosets:
         self.fixed = [eng.coeff_to_extended_coset(p) for p in self.fixed_polys]
         self.sigma_polys = [eng.from_ints(p) for p in pk.sigma_polys]
         self.sigma = [eng.coeff_to_extended_coset(p) for p in self.sigma_polys]
+        # n-domain Lagrange columns resident on the engine: lookup
+        # compression and grand-product assembly read these directly
+        # instead of re-encoding host ints every proof (VERDICT r1 #6)
+        self.fixed_lag = [eng.from_ints([int(x) % R for x in col])
+                          for col in pk.fixed_values]
+        self.sigma_lag = [eng.from_ints(col) for col in pk.sigma_values]
+        omega_pows = [1] * n
+        for i in range(1, n):
+            omega_pows[i] = omega_pows[i - 1] * d.omega % R
+        self.omega_pows = eng.from_ints(omega_pows)
 
         def lag_coset(rows):
             vals = [0] * n
@@ -164,23 +174,20 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
 
     theta = t.squeeze_challenge()
 
-    fixed_ints = [[int(x) % R for x in c] for c in pk.fixed_values]
-
-    def eval_expr_rows_host(expr):
-        """Host-int evaluation over all n rows (used for lookup compression,
-        where the permutation sort is host-side anyway)."""
-        def q_vals(q, source):
-            v = source[q.column_index]
-            rot = q.rotation % n
-            return v[rot:] + v[:rot] if rot else v
+    def eval_expr_lagrange(expr):
+        """Engine-resident expression evaluation over the n-domain (lookup
+        compression; only the permutation SORT stays host-side)."""
         return expr.evaluate(
-            constant=lambda c: [c % R] * n,
-            fixed=lambda q: q_vals(q, fixed_ints),
-            advice=lambda q: q_vals(q, advice_ints),
-            instance=lambda q: q_vals(q, instance_ints),
-            negate=lambda a: [(-x) % R for x in a],
-            add=lambda a, bb: [(x + y) % R for x, y in zip(a, bb)],
-            mul=lambda a, bb: [x * y % R for x, y in zip(a, bb)],
+            constant=lambda c: eng.const_vec(c, n),
+            fixed=lambda q: eng.rotate(cosets.fixed_lag[q.column_index],
+                                       q.rotation),
+            advice=lambda q: eng.rotate(advice_values[q.column_index],
+                                        q.rotation),
+            instance=lambda q: eng.rotate(instance_values[q.column_index],
+                                          q.rotation),
+            negate=eng.neg,
+            add=eng.add,
+            mul=eng.mul,
         )
 
     # -- lookups: permuted pairs ------------------------------------------
@@ -190,13 +197,14 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     lookup_perm_vecs = []
     for lk in cs.lookups:
         def compress(exprs):
-            acc = [0] * n
+            acc = eng.const_vec(0, n)
             for e in exprs:
-                vals = eval_expr_rows_host(e)
-                acc = [(a * theta + v) % R for a, v in zip(acc, vals)]
+                acc = eng.add(eng.scale(acc, theta), eval_expr_lagrange(e))
             return acc
-        comp_input = compress([p[0] for p in lk.pairs])
-        comp_table = compress([p[1] for p in lk.pairs])
+        ci_dev = compress([p[0] for p in lk.pairs])
+        ct_dev = compress([p[1] for p in lk.pairs])
+        comp_input = eng.to_ints(ci_dev)
+        comp_table = eng.to_ints(ct_dev)
         a_p, s_p = _permute_lookup(comp_input, comp_table, u)
         a_vals = a_p + [0] * (n - u)
         s_vals = s_p + [0] * (n - u)
@@ -204,7 +212,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             a_vals[i] = _rng_field(rng)
             s_vals[i] = _rng_field(rng)
         lookup_state.append({
-            "comp_input": comp_input, "comp_table": comp_table,
+            "comp_input_dev": ci_dev, "comp_table_dev": ct_dev,
             "a_ints": a_vals, "s_ints": s_vals,
         })
         lookup_perm_vecs.extend([eng.from_ints(a_vals), eng.from_ints(s_vals)])
@@ -221,18 +229,17 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     perm_cols = cs.permutation_columns
     chunks = [perm_cols[i:i + chunk_len] for i in range(0, len(perm_cols), chunk_len)]
 
-    def col_ints(col):
+    def col_values(col):
         if col.kind == "advice":
-            return advice_ints[col.index]
+            return advice_values[col.index]
         if col.kind == "fixed":
-            return fixed_ints[col.index]
-        return instance_ints[col.index]
+            return cosets.fixed_lag[col.index]
+        return instance_values[col.index]
 
-    omega_pows = [1] * n
-    for i in range(1, n):
-        omega_pows[i] = omega_pows[i - 1] * d.omega % R
     deltas = [pow(FR_DELTA, j, R) for j in range(len(perm_cols))]
 
+    tr_gp = tr.phase("grand_products")
+    tr_gp.__enter__()
     z_ints_sets = []
     last_z = 1
     gidx = 0
@@ -240,32 +247,30 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         num = eng.const_vec(1, n)
         den = eng.const_vec(1, n)
         for col in chunk:
-            vals = eng.from_ints(col_ints(col))
-            sig_l = eng.from_ints(pk.sigma_values[perm_cols.index(col)])
+            vals = col_values(col)
+            sig_l = cosets.sigma_lag[perm_cols.index(col)]
             delta = deltas[gidx]
-            id_part = eng.from_ints([beta * delta % R * w % R for w in omega_pows])
+            id_part = eng.scale(cosets.omega_pows, beta * delta % R)
             num = eng.mul(num, eng.add_const(eng.add(vals, id_part), gamma))
             den = eng.mul(den, eng.add_const(
                 eng.add(vals, eng.scale(sig_l, beta)), gamma))
             gidx += 1
         ratio = eng.mul(num, eng.batch_inv(den))
-        prefix = eng.to_ints(eng.prefix_prod(ratio))
-        z = [0] * n
-        z[0] = last_z
-        for i in range(1, u + 1):
-            z[i] = last_z * prefix[i - 1] % R
+        scaled = eng.to_ints(eng.scale(eng.prefix_prod(ratio), last_z))
+        z = [last_z] + scaled[:u] + [0] * (b + 1 - 1)
         last_z = z[u]
         for i in range(n - b, n):
             z[i] = _rng_field(rng)
         z_ints_sets.append(z)
+    tr_gp.__exit__(None, None, None)
     z_values = [eng.from_ints(z) for z in z_ints_sets]
     z_polys = [eng.lagrange_to_coeff(z) for z in z_values]
 
     # lookup product polys: z[i+1] = z[i] * (A+beta)(S+gamma)/((a'+beta)(s'+gamma))
     lookup_z_vecs = []
     for lk_s in lookup_state:
-        ci = eng.from_ints(lk_s["comp_input"])
-        ct = eng.from_ints(lk_s["comp_table"])
+        ci = lk_s["comp_input_dev"]
+        ct = lk_s["comp_table_dev"]
         av = eng.from_ints(lk_s["a_ints"])
         sv = eng.from_ints(lk_s["s_ints"])
         num = eng.mul(eng.add_const(ci, beta), eng.add_const(ct, gamma))

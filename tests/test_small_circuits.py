@@ -93,3 +93,25 @@ def test_identity_reference_quirk_preserved():
     # gated_reveals mode: hidden gender must be 0 and passes
     assert not MockProver.run(
         4, IdentityCircuit(**args, gated_reveals=True), []).verify()
+
+
+def test_lookup_circuit_real_proof_engine_parity():
+    """Real-prover round-trip of a circuit WITH lookups (range chip), and
+    host/jax engine byte parity of the device-resident lookup compression
+    + grand-product path (prover.py eval_expr_lagrange)."""
+    from test_gadgets import RangeHarness
+
+    def body(gate, rng):
+        a = gate.load_witness(37)
+        rng.range_check(a, 6)
+        b = gate.load_witness(63)
+        rng.range_check(b, 6)
+        rng.check_less_than(a, b, 6)
+
+    c = RangeHarness(body)
+    srs8 = setup(8)
+    pk, vk = keygen(c, 8, srs8)
+    p_host = create_proof(pk, srs8, c, [], rng_seed=7, engine="host")
+    assert verify_proof(vk, srs8, [], p_host)
+    p_jax = create_proof(pk, srs8, c, [], rng_seed=7, engine="jax")
+    assert p_jax == p_host
