@@ -36,6 +36,10 @@ class RSASha256Params:
     num_lookup_advice: int = 12
     lookup_bits: int = 12
     sha_lanes: int = 16
+    # when set, use the dynamic-length SHA-256 path: ONE vk serves any
+    # message length <= max_msg_len (Sha256DynamicConfig capability,
+    # /root/reference/src/lib.rs:308-315)
+    max_msg_len: int | None = None
 
 
 class RSASha256Circuit(Circuit):
@@ -72,13 +76,24 @@ class RSASha256Circuit(Circuit):
 
         # message bytes: witnessed and 8-bit range-checked (soundness of the
         # byte->word packing inside the sha chip)
-        msg_cells = []
-        for b in self.msg:
-            c = gate.load_witness(b)
-            rng.range_check(c, 8)
-            msg_cells.append(c)
-
-        digest = sha.digest(msg_cells, self.msg)  # 32 big-endian byte cells
+        if self.p.max_msg_len is not None:
+            from ..gadgets.sha256 import pad_dynamic
+            buf = pad_dynamic(self.msg, self.p.max_msg_len)
+            data_cells = []
+            for b in buf:
+                c = gate.load_witness(b)
+                rng.range_check(c, 8)
+                data_cells.append(c)
+            mlen_cell = gate.load_witness(len(self.msg))
+            digest = sha.digest_dynamic(data_cells, mlen_cell,
+                                        self.p.max_msg_len)
+        else:
+            msg_cells = []
+            for b in self.msg:
+                c = gate.load_witness(b)
+                rng.range_check(c, 8)
+                msg_cells.append(c)
+            digest = sha.digest(msg_cells, self.msg)  # 32 BE byte cells
 
         # digest bytes -> 4 LE u64 words (reference reverses then packs,
         # lib.rs:222-239)

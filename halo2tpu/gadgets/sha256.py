@@ -53,6 +53,20 @@ def pad_message(msg: bytes) -> bytes:
     return out + bitlen.to_bytes(8, "big")
 
 
+def dynamic_buffer_blocks(max_len: int) -> int:
+    """Number of 64-byte blocks in a dynamic digest buffer that can hold any
+    padded message of up to max_len bytes."""
+    return (max_len + 9 + 63) // 64
+
+
+def pad_dynamic(msg: bytes, max_len: int) -> bytes:
+    """FIPS padding zero-extended to the full dynamic buffer (witness gen)."""
+    nb = dynamic_buffer_blocks(max_len)
+    padded = pad_message(msg)
+    assert len(padded) <= nb * 64, "message exceeds dynamic buffer"
+    return padded + b"\x00" * (nb * 64 - len(padded))
+
+
 class Sha256Config:
     def __init__(self, cs: ConstraintSystem, num_lanes: int):
         self.num_lanes = num_lanes
@@ -302,6 +316,114 @@ class Sha256Chip:
                 byte = g.inner_product(
                     bits, [Const(1 << i) for i in range(8)])
                 out.append(byte)
+        return out
+
+    def digest_dynamic(self, data_cells: list, mlen_cell, max_len: int):
+        """ONE vk serves any message length <= max_len — realizes the
+        reference's `Sha256DynamicConfig` capability
+        (/root/reference/src/lib.rs:308-315): the constraint structure
+        depends only on max_len, the actual length is a witness.
+
+        data_cells: byte cells for the FULL B-block buffer
+        (B = dynamic_buffer_blocks(max_len); values from pad_dynamic).
+        mlen_cell: cell holding the true message byte length.
+        The caller must range-check every data cell to 8 bits (as with
+        `digest`, byte range checks are the caller's concern).
+
+        In-circuit padding verification:
+          - s_i = indicator(i < mlen): boolean, monotone non-increasing,
+            sum_i s_i = mlen (binds the vector to mlen_cell)
+          - data[mlen] = 0x80:   (s_{i-1} - s_i) * (data_i - 0x80) = 0
+          - all other pad bytes zero: data_i * (1 - s_{i-1} - l_i) = 0
+            (s_i + t_i = s_{i-1}; l_i marks the final block's length field)
+          - fb one-hot over blocks with  mlen + 8 - 64*F in [0, 64)
+            (F = selected block index), so fb = final block of the padding
+          - big-endian length field of the final block packs to 8*mlen
+          - digest = one-hot select of the per-block chained states
+
+        Returns 32 digest byte cells (big-endian order).
+        """
+        g = self.gate
+        nb = dynamic_buffer_blocks(max_len)
+        total = nb * 64
+        assert len(data_cells) == total, "need the full dynamic buffer"
+        mlen = mlen_cell.value
+        assert mlen + 9 <= total
+
+        # s indicators
+        s_cells = []
+        for i in range(total):
+            s = g.load_witness(1 if i < mlen else 0)
+            g.assert_bit(s)
+            s_cells.append(s)
+        for i in range(total - 1):
+            g.assert_bit(g.sub(s_cells[i], s_cells[i + 1]))
+        g.assert_equal(g.sum(s_cells), mlen_cell)
+
+        # final-block one-hot + index
+        final_blk = (mlen + 8) // 64
+        fb_cells = []
+        for b in range(nb):
+            f = g.load_witness(1 if b == final_blk else 0)
+            g.assert_bit(f)
+            fb_cells.append(f)
+        g.assert_is_const(g.sum(fb_cells), 1)
+        f_idx = g.linear_combination(fb_cells, list(range(nb)))
+        # d = mlen + 8 - 64*F in [0, 64)
+        d = g.linear_combination(
+            [mlen_cell, f_idx, g.load_constant(1)], [1, R - 64, 8])
+        g.num_to_bits(d, 6)
+
+        # length-field flags l_i (positions 56..63 of the final block)
+        one = g.load_constant(1)
+        for i in range(total):
+            s_prev = s_cells[i - 1] if i > 0 else one
+            t_i = g.sub(s_prev, s_cells[i])
+            # data[mlen] = 0x80
+            diff80 = g.sub(data_cells[i], g.load_constant(0x80))
+            g.assert_is_const(g.mul(t_i, diff80), 0)
+            # zero padding: data_i * (1 - s_{i-1} - l_i) = 0
+            blk, pos = divmod(i, 64)
+            if pos >= 56:
+                coeff = g.sub(g.sub(one, s_prev), fb_cells[blk])
+            else:
+                coeff = g.sub(one, s_prev)
+            g.assert_is_const(g.mul(data_cells[i], coeff), 0)
+
+        # length field packs to 8*mlen in the selected block
+        len_packed = []
+        for b in range(nb):
+            len_packed.append(g.inner_product(
+                data_cells[b * 64 + 56: b * 64 + 64],
+                [Const(1 << (8 * (7 - j))) for j in range(8)]))
+        sel_len = g.select_by_indicator(len_packed, fb_cells)
+        g.assert_equal(sel_len, g.linear_combination([mlen_cell], [8]))
+
+        # compress every block; snapshot state after each
+        state = self._load_state_words([g.load_constant(h) for h in H0])
+        block_states = []
+        for blk in range(nb):
+            w_words = []
+            for i in range(16):
+                bs = data_cells[blk * 64 + i * 4: blk * 64 + i * 4 + 4]
+                word_cell = g.inner_product(
+                    bs, [Const(1 << 24), Const(1 << 16), Const(1 << 8),
+                         Const(1)])
+                word, _ = self.decompose(word_cell, 32)
+                w_words.append(word)
+            state = self.compress_block(state, w_words)
+            block_states.append(state)
+
+        # one-hot select the digest state, then re-bind bits for byte output
+        out = []
+        for j in range(8):
+            sel = g.select_by_indicator(
+                [st[j].cell for st in block_states], fb_cells)
+            word, _ = self.decompose(sel, 32)
+            for jj in range(4):
+                bits = word.bits[24 - 8 * jj: 32 - 8 * jj]
+                out.append(g.inner_product(
+                    bits, [Const(1 << i) for i in range(8)]))
         return out
 
     def occupancy(self) -> dict:
