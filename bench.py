@@ -144,7 +144,12 @@ def bench_square_proof():
 
 
 def bench_rsa_proof():
-    """Flagship: RSA-SHA256 k=15 real proof on the JAX engine."""
+    """Flagship: RSA-SHA256 k=15 real proof on the JAX engine.
+
+    Headline = steady-state latency (2nd proof: pk cosets + kernels warm) —
+    the production regime, where one pk proves many signatures.  The cold
+    first proof (includes coset NTTs of ~100 fixed/sigma polys + compiles)
+    is reported separately."""
     from halo2tpu.utils.trace import Tracer
     from halo2tpu.circuits.rsa_sha256 import RSASha256Circuit
     from halo2tpu.plonk.engine import make_engine
@@ -166,9 +171,12 @@ def bench_rsa_proof():
     kg = time.perf_counter() - t0
 
     eng = make_engine("jax", vk.domain, srs)
+    t0 = time.perf_counter()
+    create_proof(pk, srs, c, c.instances(), rng_seed=3, engine=eng)
+    cold = time.perf_counter() - t0
     tr = Tracer("rsa_sha256_proof")
     t0 = time.perf_counter()
-    proof = create_proof(pk, srs, c, c.instances(), rng_seed=3,
+    proof = create_proof(pk, srs, c, c.instances(), rng_seed=4,
                          engine=eng, tracer=tr)
     t = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -177,10 +185,81 @@ def bench_rsa_proof():
     assert ok, "rsa proof failed local verification"
     RESULTS["rsa_sha256_proof"] = {
         "k": k, "msg_bytes": len(msg), "keygen_s": round(kg, 2),
+        "cold_prove_s": round(cold, 3),
         "prove_s": round(t, 3), "verify_s": round(tv, 3),
         "ref_mock_s": RSA_BASELINE_S,
         "phases": {p: round(v, 3) for p, v in tr.phases.items()}}
     return t
+
+
+def bench_composite_proof():
+    """Composite Aadhaar circuit with the FULL 1137-byte golden QR vector
+    (tests/golden/qr_msg.json = /root/reference/src/lib.rs:652-743):
+    RSA-SHA256 over the first 700 bytes + extraction + reveal + nullifier
+    + timestamp + signal in ONE proof (the reference's flagship flow,
+    lib.rs:649-1053, realized as a single circuit)."""
+    import json as _json
+    from halo2tpu.circuits.aadhaar_qr import (
+        AadhaarParams, AadhaarQRVerifierCircuit, AadhaarWitness)
+    from halo2tpu.plonk.engine import make_engine
+    from halo2tpu.plonk.keygen import keygen_cached
+    from halo2tpu.plonk.prover import create_proof
+    from halo2tpu.plonk.srs import setup
+    from halo2tpu.plonk.verifier import verify_proof
+    from halo2tpu.utils.rsa_native import generate_key, sign_pkcs1v15_sha256
+    from halo2tpu.utils.trace import Tracer
+
+    k = int(os.environ.get("BENCH_COMPOSITE_K", "15"))
+    with open(os.path.join(os.path.dirname(__file__),
+                           "tests/golden/qr_msg.json")) as f:
+        qr = bytes(_json.load(f)["msg"])
+    key, n, e = generate_key(2048)
+    sig = sign_pkcs1v15_sha256(key, qr[:700])
+    p = AadhaarParams(signed_len=700)
+    w = AadhaarWitness(qr, n, sig, nullifier_seed=12345678,
+                       signal_hash=4294967295)
+    c = AadhaarQRVerifierCircuit(w, p)
+
+    srs = setup(k)
+    t0 = time.perf_counter()
+    pk, vk = keygen_cached(c, k, srs, cache_key="aadhaar_bench", engine="jax")
+    kg = time.perf_counter() - t0
+    eng = make_engine("jax", vk.domain, srs)
+    t0 = time.perf_counter()
+    create_proof(pk, srs, c, c.instances(), rng_seed=5, engine=eng)
+    cold = time.perf_counter() - t0
+    tr = Tracer("aadhaar_proof")
+    t0 = time.perf_counter()
+    proof = create_proof(pk, srs, c, c.instances(), rng_seed=6,
+                         engine=eng, tracer=tr)
+    t = time.perf_counter() - t0
+    assert verify_proof(vk, srs, c.instances(), proof), \
+        "composite proof failed local verification"
+    RESULTS["aadhaar_composite_proof"] = {
+        "k": k, "qr_bytes": len(qr), "keygen_s": round(kg, 2),
+        "cold_prove_s": round(cold, 3), "prove_s": round(t, 3),
+        "target_s": AADHAAR_TARGET_S,
+        "phases": {p_: round(v, 3) for p_, v in tr.phases.items()}}
+    return t
+
+
+def bench_scaling():
+    """1->N device NTT/MSM scaling on a virtual CPU mesh (subprocess: the
+    parent process has already pinned the TPU backend)."""
+    import subprocess
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, "-m", "halo2tpu.parallel.scaling_report"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            RESULTS["scaling"] = json.loads(line)
+            return
+    raise RuntimeError(f"scaling report failed: {out.stderr[-500:]}")
 
 
 def main():
@@ -202,6 +281,14 @@ def main():
             headline = bench_rsa_proof()
         except Exception:
             ERRORS.append(f"rsa: {traceback.format_exc(limit=3)}")
+
+    if level == "all":
+        for name, fn in [("composite", bench_composite_proof),
+                         ("scaling", bench_scaling)]:
+            try:
+                fn()
+            except Exception:
+                ERRORS.append(f"{name}: {traceback.format_exc(limit=3)}")
 
     if headline is not None:
         line = {"metric": "rsa_sha256_proof_latency", "value": round(headline, 3),

@@ -112,6 +112,17 @@ class HostEngine:
     def eval_poly(self, coeffs, x):
         return polyops.eval_poly(coeffs, x)
 
+    def eval_polys(self, pairs):
+        """[(poly, x), ...] -> list of evaluations (python ints), same
+        order.  The prover's eval phase batches through this."""
+        return [self.eval_poly(p, x) for p, x in pairs]
+
+    def grand_products(self, nums, dens):
+        """Per-vector prefix products of num/den ratios (permutation +
+        lookup grand products batched into one inversion/scan pass)."""
+        return [self.prefix_prod(self.mul(n_, self.batch_inv(d_)))
+                for n_, d_ in zip(nums, dens)]
+
     def commit_lagrange_batch(self, vecs):
         return [self.srs.commit_lagrange(v) for v in vecs]
 
@@ -222,6 +233,46 @@ class JaxEngine:
             prod = jfield.add(JFR, prod[:half], prod[half:2 * half]) if half * 2 == prod.shape[0] \
                 else jnp.concatenate([jfield.add(JFR, prod[:half], prod[half:2 * half]), prod[2 * half:]], axis=0)
         return JFR.decode(prod)[0]
+
+    def eval_polys(self, pairs):
+        """Batched multi-point evaluation: groups the (poly, x) pairs by x,
+        evaluates each group as ONE stacked mont_mul + tree-sum + decode
+        (one device round-trip per distinct x instead of per query)."""
+        groups: dict[int, list[int]] = {}
+        for i, (_, x) in enumerate(pairs):
+            groups.setdefault(x % R, []).append(i)
+        out = [None] * len(pairs)
+        for x, idxs in groups.items():
+            polys = [pairs[i][0] for i in idxs]
+            n = max(p.shape[0] for p in polys)
+            stacked = jnp.stack([
+                p if p.shape[0] == n else jnp.concatenate(
+                    [p, jnp.zeros((n - p.shape[0], jfield.NLIMB),
+                                  jnp.uint32)], axis=0)
+                for p in polys])                          # (P, n, 16)
+            pows = jnp.broadcast_to(self._powers(x, n), stacked.shape)
+            prod = jfield.mont_mul(JFR, stacked, pows)
+            while prod.shape[1] > 1:
+                half = prod.shape[1] // 2
+                head = jfield.add(JFR, prod[:, :half], prod[:, half:2 * half])
+                prod = head if 2 * half == prod.shape[1] else \
+                    jnp.concatenate([head, prod[:, 2 * half:]], axis=1)
+            vals = JFR.decode(prod[:, 0])
+            for i, v in zip(idxs, vals):
+                out[i] = v
+        return out
+
+    def grand_products(self, nums, dens):
+        """ONE stacked inversion + vmapped scan for all grand products."""
+        if not nums:
+            return []
+        count = len(nums)
+        n = nums[0].shape[0]
+        den_inv = jfield.batch_inv_scan(JFR, jnp.concatenate(dens, axis=0))
+        ratios = jfield.mont_mul(JFR, jnp.stack(nums),
+                                 den_inv.reshape(count, n, jfield.NLIMB))
+        prefixes = jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
+        return [prefixes[i] for i in range(count)]
 
     def commit_lagrange_batch(self, vecs):
         return self._commit(self._msm_lagrange, vecs)

@@ -238,10 +238,12 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
 
     deltas = [pow(FR_DELTA, j, R) for j in range(len(perm_cols))]
 
+    # Build every grand-product numerator/denominator (permutation chunks +
+    # lookup products), then resolve all of them in ONE batched engine pass
+    # (single stacked inversion + vmapped prefix scan on the JaxEngine).
     tr_gp = tr.phase("grand_products")
     tr_gp.__enter__()
-    z_ints_sets = []
-    last_z = 1
+    nums, dens = [], []
     gidx = 0
     for chunk in chunks:
         num = eng.const_vec(1, n)
@@ -255,9 +257,25 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             den = eng.mul(den, eng.add_const(
                 eng.add(vals, eng.scale(sig_l, beta)), gamma))
             gidx += 1
-        ratio = eng.mul(num, eng.batch_inv(den))
-        scaled = eng.to_ints(eng.scale(eng.prefix_prod(ratio), last_z))
-        z = [last_z] + scaled[:u] + [0] * (b + 1 - 1)
+        nums.append(num)
+        dens.append(den)
+    lookup_a_vecs, lookup_s_vecs = [], []
+    for lk_s in lookup_state:
+        av = eng.from_ints(lk_s["a_ints"])
+        sv = eng.from_ints(lk_s["s_ints"])
+        lookup_a_vecs.append(av)
+        lookup_s_vecs.append(sv)
+        nums.append(eng.mul(eng.add_const(lk_s["comp_input_dev"], beta),
+                            eng.add_const(lk_s["comp_table_dev"], gamma)))
+        dens.append(eng.mul(eng.add_const(av, beta),
+                            eng.add_const(sv, gamma)))
+    prefixes = eng.grand_products(nums, dens)
+
+    z_ints_sets = []
+    last_z = 1
+    for pref in prefixes[:len(chunks)]:
+        scaled = eng.to_ints(eng.scale(pref, last_z))
+        z = [last_z] + scaled[:u] + [0] * b
         last_z = z[u]
         for i in range(n - b, n):
             z[i] = _rng_field(rng)
@@ -268,19 +286,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
 
     # lookup product polys: z[i+1] = z[i] * (A+beta)(S+gamma)/((a'+beta)(s'+gamma))
     lookup_z_vecs = []
-    for lk_s in lookup_state:
-        ci = lk_s["comp_input_dev"]
-        ct = lk_s["comp_table_dev"]
-        av = eng.from_ints(lk_s["a_ints"])
-        sv = eng.from_ints(lk_s["s_ints"])
-        num = eng.mul(eng.add_const(ci, beta), eng.add_const(ct, gamma))
-        den = eng.mul(eng.add_const(av, beta), eng.add_const(sv, gamma))
-        ratio = eng.mul(num, eng.batch_inv(den))
-        prefix = eng.to_ints(eng.prefix_prod(ratio))
-        z = [0] * n
-        z[0] = 1
-        for i in range(1, u + 1):
-            z[i] = prefix[i - 1]
+    for lk_s, av, sv, pref in zip(lookup_state, lookup_a_vecs,
+                                  lookup_s_vecs, prefixes[len(chunks):]):
+        prefix = eng.to_ints(pref)
+        z = [1] + prefix[:u] + [0] * b
         for i in range(n - b, n):
             z[i] = _rng_field(rng)
         lk_s["z_ints"] = z
@@ -410,31 +419,31 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     x = t.squeeze_challenge()
     xn = pow(x, n, R)
 
-    # -- evaluations -------------------------------------------------------
+    # -- evaluations (batched: one device round-trip per distinct x) --------
     tr_e = tr.phase("evals")
     tr_e.__enter__()
-    for ci, rot in cs.advice_queries:
-        t.write_scalar(eng.eval_poly(advice_polys[ci], rotate_omega(d, x, rot)))
-    for ci, rot in cs.fixed_queries:
-        t.write_scalar(eng.eval_poly(cosets.fixed_polys[ci], rotate_omega(d, x, rot)))
-    t.write_scalar(eng.eval_poly(random_poly, x))
-    for sp in cosets.sigma_polys:
-        t.write_scalar(eng.eval_poly(sp, x))
     x_next = rotate_omega(d, x, 1)
     x_last = rotate_omega(d, x, -(b + 1))
-    for j, zp in enumerate(z_polys):
-        t.write_scalar(eng.eval_poly(zp, x))
-        t.write_scalar(eng.eval_poly(zp, x_next))
-        if j + 1 < len(z_polys):
-            t.write_scalar(eng.eval_poly(zp, x_last))
     x_prev = rotate_omega(d, x, -1)
+    pairs = []
+    for ci, rot in cs.advice_queries:
+        pairs.append((advice_polys[ci], rotate_omega(d, x, rot)))
+    for ci, rot in cs.fixed_queries:
+        pairs.append((cosets.fixed_polys[ci], rotate_omega(d, x, rot)))
+    pairs.append((random_poly, x))
+    for sp in cosets.sigma_polys:
+        pairs.append((sp, x))
+    for j, zp in enumerate(z_polys):
+        pairs.append((zp, x))
+        pairs.append((zp, x_next))
+        if j + 1 < len(z_polys):
+            pairs.append((zp, x_last))
     for lk_s in lookup_state:
-        t.write_scalar(eng.eval_poly(lk_s["z_poly"], x))
-        t.write_scalar(eng.eval_poly(lk_s["z_poly"], x_next))
-        t.write_scalar(eng.eval_poly(lk_s["a_poly"], x))
-        t.write_scalar(eng.eval_poly(lk_s["a_poly"], x_prev))
-        t.write_scalar(eng.eval_poly(lk_s["s_poly"], x))
-
+        pairs.extend([(lk_s["z_poly"], x), (lk_s["z_poly"], x_next),
+                      (lk_s["a_poly"], x), (lk_s["a_poly"], x_prev),
+                      (lk_s["s_poly"], x)])
+    for v in eng.eval_polys(pairs):
+        t.write_scalar(v)
     tr_e.__exit__(None, None, None)
     # -- multiopen queries (order pins SHPLONK set structure) --------------
     # fold h chunks with x^n (Horner from last chunk)
