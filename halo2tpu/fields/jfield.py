@@ -152,7 +152,12 @@ _CONV_IDX = jnp.asarray(
 
 def _conv_cols(a, b, out_cols=33):
     """Lazy-carry column sums of the product a*b (little-endian limb
-    convolution): returns (..., out_cols) with values < 16 * 2^16 < 2^21."""
+    convolution): returns (..., out_cols) with values < 16 * 2^16 < 2^21.
+
+    b may be unbatched (16,) against a batched `a`: the gather then builds a
+    tiny (16, out_cols) table and the product broadcasts.  NEVER broadcast a
+    constant b to a's shape before calling — XLA constant-folds the giant
+    batched gather/transpose at compile time (minutes per mul on XLA:CPU)."""
     zeros = jnp.zeros(b.shape[:-1] + (17,), dtype=b.dtype)
     b_ext = jnp.concatenate([b, zeros], axis=-1)
     idx = _CONV_IDX[:, :out_cols]
@@ -185,11 +190,11 @@ def mont_mul(spec: FieldSpec, a, b):
     T = _conv_cols(a, b)                                   # (..., 33)
     tl, _ = _carry16(T)                                    # exact low half
     # m = (T mod 2^256) * (-p^-1) mod 2^256: triangular contraction
-    m_lazy = _conv_cols(tl, jnp.broadcast_to(spec.p_inv_full, tl.shape),
-                        out_cols=NLIMB)
+    # (constants stay unbatched — see _conv_cols docstring)
+    m_lazy = _conv_cols(tl, spec.p_inv_full, out_cols=NLIMB)
     m, _ = _carry16(m_lazy)
     # Z = T + m*p; low 256 bits vanish; result = Z >> 256 (< 2p)
-    Z = T + _conv_cols(m, jnp.broadcast_to(spec.p_limbs, m.shape))
+    Z = T + _conv_cols(m, spec.p_limbs)
     _, z_carry = _carry16(Z)                               # carry into col 16
     out = []
     carry = z_carry
@@ -293,12 +298,12 @@ def inv(spec: FieldSpec, a):
 
 @partial(jax.jit, static_argnums=0)
 def _jit_to_mont(spec, a):
-    return mont_mul(spec, a, jnp.broadcast_to(spec.r2_limbs, a.shape))
+    return mont_mul(spec, a, spec.r2_limbs)
 
 
 @partial(jax.jit, static_argnums=0)
 def _jit_from_mont(spec, a):
-    return mont_mul(spec, a, jnp.broadcast_to(spec.one_plain, a.shape))
+    return mont_mul(spec, a, spec.one_plain)
 
 
 def _prefix_prod(spec: FieldSpec, a):
