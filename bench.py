@@ -28,6 +28,32 @@ import numpy as np
 
 RESULTS: dict = {}
 ERRORS: list[str] = []
+SKIPPED: list[str] = []
+
+_T0 = time.time()
+# Hard wall-clock budget: sections are skipped (never killed mid-run) once
+# the budget is spent, so the final JSON line ALWAYS prints.  The first run
+# on a cold tunnel pays remote-compile latency (~1 min per pallas kernel
+# variant); the persistent JAX cache (.cache/jax) makes reruns fast.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
+
+def _log(msg: str):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _have_time(need_s: float, what: str) -> bool:
+    if _remaining() < need_s:
+        SKIPPED.append(f"{what} (budget: {_remaining():.0f}s left, "
+                       f"wanted {need_s:.0f}s)")
+        _log(f"SKIP {what}: {_remaining():.0f}s left of {_BUDGET_S:.0f}s")
+        return False
+    return True
 
 # v5e: ~819 GB/s HBM, 394 bf16 TFLOP/s. Field elements are 64 B (16xu32).
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", "819"))
@@ -60,6 +86,7 @@ def bench_kernels():
     rng = np.random.default_rng(0)
 
     # --- mont_mul throughput ------------------------------------------------
+    _log("kernels: mont_mul")
     n = 1 << 20
     a = FR.encode([int.from_bytes(rng.bytes(31), "big") % R for v in range(256)])
     a = jnp.tile(a, (n // 256, 1))
@@ -75,6 +102,9 @@ def bench_kernels():
     # --- NTT k=15..20 -------------------------------------------------------
     ntt_rows = {}
     for k in (15, 18, 20):
+        if not _have_time(120, f"ntt k={k}"):
+            break
+        _log(f"kernels: ntt k={k}")
         nn = 1 << k
         plan = jntt.get_plan(nn, fr_root_of_unity(k))
         x = jnp.tile(a[:256], (nn // 256, 1))
@@ -93,6 +123,9 @@ def bench_kernels():
     from halo2tpu.fields.bn254 import G1_GEN
     msm_rows = {}
     for k in (12, 15):
+        if not _have_time(300, f"msm k={k}"):
+            break
+        _log(f"kernels: msm k={k}")
         nn = 1 << k
         # synthetic distinct bases: (2i+1) * G — host gen is slow, keep n modest
         base = G1.scalar_mul(G1_GEN, 12345)
@@ -101,8 +134,11 @@ def bench_kernels():
             pts.append(G1.add(pts[-1], G1_GEN))
         pts = (pts * (nn // len(pts)))[:nn]
         ctx = MSMContext(pts)
+        # batch of 8 = the engine's msm_batch, so the pallas fold kernels
+        # compiled here are the exact variants the prover reuses
+        B = 8
         scalars = [[int.from_bytes(rng.bytes(31), "big") % R for _ in range(nn)]
-                   for _ in range(4)]
+                   for _ in range(B)]
         t0 = time.perf_counter()
         ctx.commit_batch(scalars)      # includes table build + compile
         first = time.perf_counter() - t0
@@ -110,9 +146,9 @@ def bench_kernels():
         ctx.commit_batch(scalars)
         steady = time.perf_counter() - t0
         msm_rows[f"k{k}"] = {
-            "batch": 4, "first_s": round(first, 3),
-            "s_per_msm": round(steady / 4, 4),
-            "mpoints_per_s": round(4 * nn / steady / 1e6, 2)}
+            "batch": B, "first_s": round(first, 3),
+            "s_per_msm": round(steady / B, 4),
+            "mpoints_per_s": round(B * nn / steady / 1e6, 2)}
     RESULTS["msm"] = msm_rows
 
 
@@ -124,6 +160,7 @@ def bench_square_proof():
     from halo2tpu.plonk.verifier import verify_proof
 
     from halo2tpu.plonk.engine import make_engine
+    _log("square: setup + keygen")
     srs = setup(4)
     c = SquareCircuit(5)
     pk, vk = keygen(c, 4, srs)
@@ -165,15 +202,19 @@ def bench_rsa_proof():
     sig = sign_pkcs1v15_sha256(key, msg)
     c = RSASha256Circuit(msg, n, sig)
 
+    _log(f"rsa: srs setup k={k}")
     srs = setup(k)
+    _log("rsa: keygen")
     t0 = time.perf_counter()
     pk, vk = keygen_cached(c, k, srs, cache_key="rsa_sha256_bench", engine="jax")
     kg = time.perf_counter() - t0
 
     eng = make_engine("jax", vk.domain, srs)
+    _log(f"rsa: cold proof (keygen took {kg:.1f}s)")
     t0 = time.perf_counter()
     create_proof(pk, srs, c, c.instances(), rng_seed=3, engine=eng)
     cold = time.perf_counter() - t0
+    _log(f"rsa: warm proof (cold took {cold:.1f}s)")
     tr = Tracer("rsa_sha256_proof")
     t0 = time.perf_counter()
     proof = create_proof(pk, srs, c, c.instances(), rng_seed=4,
@@ -220,14 +261,18 @@ def bench_composite_proof():
                        signal_hash=4294967295)
     c = AadhaarQRVerifierCircuit(w, p)
 
+    _log(f"composite: srs setup k={k}")
     srs = setup(k)
+    _log("composite: keygen")
     t0 = time.perf_counter()
     pk, vk = keygen_cached(c, k, srs, cache_key="aadhaar_bench", engine="jax")
     kg = time.perf_counter() - t0
     eng = make_engine("jax", vk.domain, srs)
+    _log(f"composite: cold proof (keygen took {kg:.1f}s)")
     t0 = time.perf_counter()
     create_proof(pk, srs, c, c.instances(), rng_seed=5, engine=eng)
     cold = time.perf_counter() - t0
+    _log(f"composite: warm proof (cold took {cold:.1f}s)")
     tr = Tracer("aadhaar_proof")
     t0 = time.perf_counter()
     proof = create_proof(pk, srs, c, c.instances(), rng_seed=6,
@@ -267,28 +312,36 @@ def main():
     import jax
     RESULTS["backend"] = jax.default_backend()
     RESULTS["device"] = str(jax.devices()[0])
+    _log(f"backend={RESULTS['backend']} level={level} budget={_BUDGET_S:.0f}s")
 
-    for name, fn in [("kernels", bench_kernels),
-                     ("square", bench_square_proof)]:
+    for name, fn, need in [("kernels", bench_kernels, 60),
+                           ("square", bench_square_proof, 120)]:
+        if not _have_time(need, name):
+            continue
         try:
             fn()
         except Exception:
             ERRORS.append(f"{name}: {traceback.format_exc(limit=3)}")
+            _log(f"ERROR in {name}")
 
     headline = None
-    if level in ("full", "all"):
+    if level in ("full", "all") and _have_time(300, "rsa_proof"):
         try:
             headline = bench_rsa_proof()
         except Exception:
             ERRORS.append(f"rsa: {traceback.format_exc(limit=3)}")
+            _log("ERROR in rsa")
 
     if level == "all":
-        for name, fn in [("composite", bench_composite_proof),
-                         ("scaling", bench_scaling)]:
+        for name, fn, need in [("composite", bench_composite_proof, 300),
+                               ("scaling", bench_scaling, 400)]:
+            if not _have_time(need, name):
+                continue
             try:
                 fn()
             except Exception:
                 ERRORS.append(f"{name}: {traceback.format_exc(limit=3)}")
+                _log(f"ERROR in {name}")
 
     if headline is not None:
         line = {"metric": "rsa_sha256_proof_latency", "value": round(headline, 3),
@@ -299,9 +352,12 @@ def main():
         line = {"metric": "square_proof_latency", "value": val, "unit": "s",
                 "vs_baseline": (round(0.012089368 / val, 2) if val else None)}
     line["detail"] = RESULTS
+    if SKIPPED:
+        line["skipped"] = SKIPPED
     if ERRORS:
         line["errors"] = [e.splitlines()[-1] for e in ERRORS]
         print("\n".join(ERRORS), file=sys.stderr)
+    _log(f"done in {time.time() - _T0:.1f}s")
     print(json.dumps(line))
 
 

@@ -183,10 +183,32 @@ def _carry16(cols):
     return jnp.stack(out, axis=-1), carry
 
 
+def _pallas_flat_ok(a, b) -> bool:
+    """Trace-time gate for the pallas fast path: TPU backend, same-shape
+    operands, enough lanes to amortize the kernel dispatch.  The XLA
+    formulation below materializes (n, 16, 33) products in HBM; the pallas
+    kernel keeps the whole SOS reduction in VMEM (~30x less traffic).
+    Disable with HALO2TPU_NO_PALLAS_FIELD=1 (e.g. for GSPMD-partitioned
+    multi-chip programs, which cannot partition a pallas_call)."""
+    if os.environ.get("HALO2TPU_NO_PALLAS_FIELD") == "1":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if a.shape != b.shape or a.ndim < 2 or a.shape[-1] != NLIMB:
+        return False
+    rows = 1
+    for s in a.shape[:-1]:
+        rows *= s
+    return rows >= 4096
+
+
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product a*b*R^-1 mod p (R=2^256), SOS formulation:
     three dense conv-matmuls plus short carry chains.  a, b: (..., 16)."""
+    if _pallas_flat_ok(a, b):
+        from ..ops.pallas_field import kc_for, mont_mul_flat
+        return mont_mul_flat(kc_for(spec.p), a, b)
     T = _conv_cols(a, b)                                   # (..., 33)
     tl, _ = _carry16(T)                                    # exact low half
     # m = (T mod 2^256) * (-p^-1) mod 2^256: triangular contraction

@@ -84,7 +84,14 @@ def ntt(plan: NTTPlan, a):
         odd = even + (1 << s)
         twi = j << (logn - 1 - s)
         e = x[even]
-        o = mont_mul(FR, x[odd], plan.tw_flat[twi].reshape(tw_shape))
+        xo = x[odd]
+        tw = plan.tw_flat[twi].reshape(tw_shape)
+        if tw.shape != xo.shape and jax.default_backend() in ("tpu", "axon"):
+            # materialize the twiddle broadcast so the same-shape pallas
+            # mont_mul fast path applies (jfield._pallas_flat_ok); the
+            # gathered twiddles are data-dependent, so no const-folding risk
+            tw = jnp.broadcast_to(tw, xo.shape)
+        o = mont_mul(FR, xo, tw)
         lo = add(FR, e, o)
         hi = sub(FR, e, o)
         # inverse placement: output q comes from butterfly

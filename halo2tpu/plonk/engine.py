@@ -237,12 +237,21 @@ class JaxEngine:
     def eval_polys(self, pairs):
         """Batched multi-point evaluation: groups the (poly, x) pairs by x,
         evaluates each group as ONE stacked mont_mul + tree-sum + decode
-        (one device round-trip per distinct x instead of per query)."""
+        (one device round-trip per distinct x instead of per query).
+        Groups are chunked to a lane budget: an unchunked stack of ~500
+        k=15 polys makes mont_mul intermediates alone exceed v5e HBM."""
         groups: dict[int, list[int]] = {}
         for i, (_, x) in enumerate(pairs):
             groups.setdefault(x % R, []).append(i)
         out = [None] * len(pairs)
+        budget = 1 << 22          # rows (poly_count * n) per stacked pass
+        chunked = []
         for x, idxs in groups.items():
+            n = max(pairs[i][0].shape[0] for i in idxs)
+            per = max(1, budget // n)
+            chunked.extend((x, idxs[j:j + per])
+                           for j in range(0, len(idxs), per))
+        for x, idxs in chunked:
             polys = [pairs[i][0] for i in idxs]
             n = max(p.shape[0] for p in polys)
             stacked = jnp.stack([
@@ -262,17 +271,28 @@ class JaxEngine:
                 out[i] = v
         return out
 
+    # vectors per stacked grand-product pass: bounds peak HBM (the scan's
+    # mont_mul intermediates are ~3x the operand size; at k=15 with ~100
+    # resident cosets an unchunked 38-vector pass ResourceExhausted's)
+    gp_chunk = 8
+
     def grand_products(self, nums, dens):
-        """ONE stacked inversion + vmapped scan for all grand products."""
+        """Stacked inversion + vmapped scan, in bounded-memory chunks."""
         if not nums:
             return []
-        count = len(nums)
-        n = nums[0].shape[0]
-        den_inv = jfield.batch_inv_scan(JFR, jnp.concatenate(dens, axis=0))
-        ratios = jfield.mont_mul(JFR, jnp.stack(nums),
-                                 den_inv.reshape(count, n, jfield.NLIMB))
-        prefixes = jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
-        return [prefixes[i] for i in range(count)]
+        out = []
+        for i in range(0, len(nums), self.gp_chunk):
+            ns, ds = nums[i:i + self.gp_chunk], dens[i:i + self.gp_chunk]
+            count = len(ns)
+            n = ns[0].shape[0]
+            den_inv = jfield.batch_inv_scan(JFR, jnp.concatenate(ds, axis=0))
+            ratios = jfield.mont_mul(JFR, jnp.stack(ns),
+                                     den_inv.reshape(count, n, jfield.NLIMB))
+            del den_inv
+            prefixes = jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
+            del ratios
+            out.extend(prefixes[j] for j in range(count))
+        return out
 
     def commit_lagrange_batch(self, vecs):
         return self._commit(self._msm_lagrange, vecs)

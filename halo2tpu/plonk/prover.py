@@ -270,6 +270,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         dens.append(eng.mul(eng.add_const(av, beta),
                             eng.add_const(sv, gamma)))
     prefixes = eng.grand_products(nums, dens)
+    nums.clear()
+    dens.clear()
+    for lk_s in lookup_state:   # compressed vectors are re-derived on the
+        lk_s["comp_input_dev"] = lk_s["comp_table_dev"] = None  # coset later
 
     z_ints_sets = []
     last_z = 1
@@ -310,6 +314,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     y = t.squeeze_challenge()
 
     # -- phase 3: quotient -------------------------------------------------
+    # Lagrange-domain advice is dead from here on (the quotient reads the
+    # coefficient/coset forms): free ~80 x n-vectors of HBM at k=15.
+    # (rebind, not del: the names live in eval_expr_lagrange's closure)
+    advice_values = advice_ints = None
     tr_q = tr.phase("quotient")
     tr_q.__enter__()
     en = d.extended_n

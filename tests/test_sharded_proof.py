@@ -1,0 +1,94 @@
+"""The FULL proof pipeline under an 8-device mesh (ShardedJaxEngine).
+
+VERDICT r1 #5: `create_proof` itself — advice NTTs, lookup compression,
+grand products, quotient folding, evals, SHPLONK — runs with every vector
+row-sharded across the mesh, and the resulting proof bytes must equal the
+single-device (host-engine) proof for the same witness + rng seed.
+
+Covers permutation-only (Timestamp, k=6) and lookup-bearing (RangeHarness,
+k=7) circuits.  The multi-chip NTT/MSM building blocks have their own unit
+tests (test_jax_kernels.py); this is the integration seam.
+"""
+import jax
+import pytest
+
+from halo2tpu.parallel.mesh import make_mesh
+from halo2tpu.plonk.keygen import keygen
+from halo2tpu.plonk.prover import create_proof
+from halo2tpu.plonk.sharded import ShardedJaxEngine, _pick_split
+from halo2tpu.plonk.srs import setup
+from halo2tpu.plonk.verifier import verify_proof
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_pick_split():
+    assert _pick_split(64, 8) == (8, 8)
+    assert _pick_split(256, 8) == (16, 16)
+    assert _pick_split(128, 8) == (8, 16)
+    assert _pick_split(1 << 15, 8) == (128, 256)
+    with pytest.raises(AssertionError):
+        _pick_split(16, 8)
+
+
+@needs_mesh
+def test_sharded_proof_byte_parity_timestamp():
+    from halo2tpu.circuits.timestamp import TimestampCircuit
+
+    k = 6
+    c = TimestampCircuit(2023, 7, 8, 12, 34, 56)
+    srs = setup(k)
+    pk, vk = keygen(c, k, srs)
+    p_host = create_proof(pk, srs, c, [], rng_seed=21, engine="host")
+    eng = ShardedJaxEngine(vk.domain, srs, make_mesh(8))
+    p_sharded = create_proof(pk, srs, c, [], rng_seed=21, engine=eng)
+    assert p_sharded == p_host
+    assert verify_proof(vk, srs, [], p_sharded)
+
+
+@needs_mesh
+def test_dcn_batched_ntt_matches_single_chip():
+    """2D ("dcn", "ici") mesh: polynomial batch over DCN, butterflies over
+    ICI (parallel/dcn.py).  Values must match the single-chip NTT."""
+    import jax.numpy as jnp
+    import numpy as np
+    from halo2tpu.fields.bn254 import R, fr_root_of_unity
+    from halo2tpu.fields.jfield import FR
+    from halo2tpu.ops.ntt import get_plan, ntt
+    from halo2tpu.parallel.dcn import make_batched_ntt, make_mesh2d
+
+    n1, n2, B = 8, 8, 2
+    n = n1 * n2
+    omega = fr_root_of_unity(6)
+    mesh = make_mesh2d(2, 4)
+    run = make_batched_ntt(mesh, n1, n2, omega)
+
+    rng = np.random.default_rng(3)
+    vals = [[int.from_bytes(rng.bytes(31), "big") % R for _ in range(n)]
+            for _ in range(B)]
+    x = jnp.stack([FR.encode(v).reshape(n1, n2, 16) for v in vals])
+    out = run(x)
+    plan = get_plan(n, omega)
+    for b in range(B):
+        want = FR.decode(ntt(plan, FR.encode(vals[b])))
+        got = FR.decode(out[b].transpose(1, 0, 2).reshape(n, 16))
+        assert got == want
+
+
+@needs_mesh
+def test_sharded_proof_byte_parity_lookups():
+    """Lookup-bearing circuit: compression, permuted pairs and lookup grand
+    products all flow through the sharded engine."""
+    from tests.test_gadgets import RangeHarness
+
+    k = 7
+    c = RangeHarness(lambda gate, rng: rng.range_check(
+        gate.load_witness(45), 6), lookup_bits=6, num_lookup=2)
+    srs = setup(k)
+    pk, vk = keygen(c, k, srs)
+    p_host = create_proof(pk, srs, c, [], rng_seed=22, engine="host")
+    eng = ShardedJaxEngine(vk.domain, srs, make_mesh(8))
+    p_sharded = create_proof(pk, srs, c, [], rng_seed=22, engine=eng)
+    assert p_sharded == p_host
+    assert verify_proof(vk, srs, [], p_sharded)
