@@ -32,7 +32,29 @@ def test_pick_split():
         _pick_split(16, 8)
 
 
+def test_fourstep_flat_matches_single_chip():
+    """The shard_map four-step (flat natural order) is bit-exact vs the
+    single-chip radix-2 NTT — fast to compile, runs in default CI."""
+    import numpy as np
+    from halo2tpu.fields.bn254 import R, fr_root_of_unity
+    from halo2tpu.fields.jfield import FR
+    from halo2tpu.ops.ntt import get_plan, ntt
+    from halo2tpu.plonk.sharded import _FlatFourStep
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(8)
+    omega = fr_root_of_unity(6)
+    rng = np.random.default_rng(5)
+    vals = [int.from_bytes(rng.bytes(31), "big") % R for _ in range(64)]
+    x = FR.encode(vals)
+    got = FR.decode(_FlatFourStep(mesh, "shard", 64, omega)(x))
+    want = FR.decode(ntt(get_plan(64, omega), x))
+    assert got == want
+
+
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_proof_byte_parity_timestamp():
     from halo2tpu.circuits.timestamp import TimestampCircuit
 
@@ -77,6 +99,7 @@ def test_dcn_batched_ntt_matches_single_chip():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_proof_byte_parity_lookups():
     """Lookup-bearing circuit: compression, permuted pairs and lookup grand
     products all flow through the sharded engine."""
