@@ -42,12 +42,19 @@ def int_to_limbs(v: int) -> np.ndarray:
                     dtype=np.uint32)
 
 
+def ints_to_limbs16(vals) -> np.ndarray:
+    """list/array of python ints -> (n, 16) uint16 packed limbs (the wire
+    format for host<->device transfers: half the bytes of the u32 compute
+    layout — the axon tunnel is transfer-bound, so every from_ints/to_ints
+    moves u16 and widens on the far side)."""
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u2").reshape(len(vals), NLIMB)
+
+
 def ints_to_limbs(vals) -> np.ndarray:
     """list/array of python ints -> (n, 16) uint32 (via the bytes fast path:
     one to_bytes call per element instead of 16 shift/mask ops)."""
-    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
-    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NLIMB)
-    return u16.astype(np.uint32)
+    return ints_to_limbs16(vals).astype(np.uint32)
 
 
 def limbs_to_int(limbs) -> int:
@@ -97,13 +104,17 @@ class FieldSpec:
         return _jit_from_mont(self, a)
 
     def encode(self, vals) -> jax.Array:
-        """python ints -> device array in Montgomery form."""
-        plain = jnp.asarray(ints_to_limbs([v % self.p for v in vals]))
-        return self.to_mont(plain)
+        """python ints -> device array in Montgomery form (u16 wire)."""
+        u16 = ints_to_limbs16([v % self.p for v in vals])
+        return _jit_widen_to_mont(self, jnp.asarray(u16))
+
+    def encode_packed(self, u16_arr) -> jax.Array:
+        """(..., 16) uint16 plain limbs (host numpy) -> device Montgomery."""
+        return _jit_widen_to_mont(self, jnp.asarray(u16_arr))
 
     def decode(self, arr) -> list[int]:
-        plain = np.asarray(jax.device_get(self.from_mont(arr)))
-        return limbs_to_ints(plain)
+        plain = np.asarray(jax.device_get(_jit_from_mont_narrow(self, arr)))
+        return limbs_to_ints(plain.astype("<u2"))
 
 
 FQ = FieldSpec(Q)
@@ -326,6 +337,35 @@ def _jit_to_mont(spec, a):
 @partial(jax.jit, static_argnums=0)
 def _jit_from_mont(spec, a):
     return mont_mul(spec, a, spec.one_plain)
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_widen_to_mont(spec, a16):
+    return mont_mul(spec, a16.astype(jnp.uint32), spec.r2_limbs)
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_from_mont_narrow(spec, a):
+    return mont_mul(spec, a, spec.one_plain).astype(jnp.uint16)
+
+
+def _prefix_sum_mod(spec: FieldSpec, a):
+    """Inclusive prefix sum mod p along axis 0 (Hillis-Steele add rounds)."""
+    n = a.shape[0]
+    idx = jnp.arange(n)
+    x = a
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(x, shift, axis=0)
+        x = select(idx >= shift, add(spec, x, rolled), x)
+        shift *= 2
+    return x
+
+
+@partial(jax.jit, static_argnums=0)
+def suffix_sum_mod(spec: FieldSpec, a):
+    """S[i] = sum_{j >= i} a[j] mod p over axis 0."""
+    return jnp.flip(_prefix_sum_mod(spec, jnp.flip(a, axis=0)), axis=0)
 
 
 def _prefix_prod(spec: FieldSpec, a):

@@ -11,11 +11,16 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..fields.bn254 import R, FR_DELTA, to_bytes_be
+from ..fields.bn254 import R as FR_R
 from ..ops.keccak import keccak256
 from .circuit import Assignment, Circuit, Column, ConstraintSystem
 from .domain import Domain, make_domain
-from .polyops import lagrange_to_coeff
 from .srs import SRS
+
+
+def _unpack_ints(u16_arr) -> list[int]:
+    from ..fields.jfield import limbs_to_ints
+    return limbs_to_ints(np.asarray(u16_arr))
 
 
 @dataclass
@@ -35,11 +40,14 @@ class VerifyingKey:
 
 @dataclass
 class ProvingKey:
+    """Proving key.  Column data is stored ONLY in the n-domain Lagrange
+    basis as packed (n, 16) uint16 plain-limb arrays: coefficient forms are
+    recomputed on-engine at first use (prover._PkState) — keygen never
+    reads polynomial data back from the device (the TPU tunnel's
+    device->host path is ~7 MB/s; round-2's keygen spent minutes there)."""
     vk: VerifyingKey
-    fixed_values: list[np.ndarray]   # lagrange, python ints
-    fixed_polys: list[list[int]]     # coefficient form
-    sigma_values: list[list[int]]    # lagrange
-    sigma_polys: list[list[int]]     # coefficient form
+    fixed_values: list[np.ndarray]   # lagrange, (n, 16) uint16 plain limbs
+    sigma_values: list[np.ndarray]   # lagrange, (n, 16) uint16 plain limbs
     config: object                   # circuit config (column handles)
 
 
@@ -107,27 +115,21 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
         circuit.synthesize(config, asn)
 
     with tr.phase("kg_sigmas"):
-        fixed_values = [col.copy() for col in asn.fixed]
-        sigma_values = build_permutation_sigmas(cs, n, asn.copies)
+        from ..fields.jfield import ints_to_limbs16
+        fixed_values = [ints_to_limbs16([int(v) % FR_R for v in col])
+                        for col in asn.fixed]
+        sigma_values = [ints_to_limbs16(col) for col in
+                        build_permutation_sigmas(cs, n, asn.copies)]
 
     if engine is None:
-        fixed_polys = [lagrange_to_coeff([int(v) for v in col], domain.omega)
-                       for col in fixed_values]
-        fixed_commitments = [srs.commit_lagrange([int(v) for v in col])
-                             for col in fixed_values]
-        sigma_polys = [lagrange_to_coeff(col, domain.omega)
-                       for col in sigma_values]
-        sigma_commitments = [srs.commit_lagrange(col) for col in sigma_values]
+        fixed_commitments = [
+            srs.commit_lagrange(_unpack_ints(col)) for col in fixed_values]
+        sigma_commitments = [
+            srs.commit_lagrange(_unpack_ints(col)) for col in sigma_values]
     else:
         with tr.phase("kg_encode"):
-            fixed_dev = [engine.from_ints([int(v) for v in col])
-                         for col in fixed_values]
-            sigma_dev = [engine.from_ints(col) for col in sigma_values]
-        with tr.phase("kg_intt"):
-            fixed_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
-                           for v in fixed_dev]
-            sigma_polys = [engine.to_ints(engine.lagrange_to_coeff(v))
-                           for v in sigma_dev]
+            fixed_dev = engine.from_packed_stack(fixed_values)
+            sigma_dev = engine.from_packed_stack(sigma_values)
         with tr.phase("kg_commit"):
             fixed_commitments = engine.commit_lagrange_batch(fixed_dev)
             sigma_commitments = engine.commit_lagrange_batch(sigma_dev)
@@ -159,9 +161,7 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
     pk = ProvingKey(
         vk=vk,
         fixed_values=fixed_values,
-        fixed_polys=fixed_polys,
         sigma_values=sigma_values,
-        sigma_polys=sigma_polys,
         config=config,
     )
     return pk, vk
@@ -190,7 +190,9 @@ def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
     cache_dir = cache_dir or os.path.join(
         os.path.dirname(__file__), "..", "..", ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"pk_{cache_key}_k{k}.pkl")
+    # v2: packed-uint16 Lagrange-only pk format (old pk_ pickles are
+    # incompatible and intentionally not loaded)
+    path = os.path.join(cache_dir, f"pk2_{cache_key}_k{k}.pkl")
     if os.path.exists(path):
         pk = load_proving_key(path)
         return pk, pk.vk

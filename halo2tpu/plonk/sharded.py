@@ -142,9 +142,21 @@ class ShardedJaxEngine(JaxEngine):
     def from_ints(self, vals):
         return jax.device_put(super().from_ints(vals), self._row_sh)
 
+    def from_ints_stack(self, cols):
+        return [self.from_ints(c) for c in cols]
+
+    def from_packed(self, u16_arr):
+        return jax.device_put(super().from_packed(u16_arr), self._row_sh)
+
+    def from_packed_stack(self, arrs):
+        return [self.from_packed(a) for a in arrs]
+
     # transforms --------------------------------------------------------
     def lagrange_to_coeff(self, vec):
         return self._inv_n(vec)
+
+    def lagrange_to_coeff_stack(self, vecs):
+        return [self._inv_n(v) for v in vecs]
 
     def coeff_to_lagrange(self, vec):
         return self._fwd_n(vec)
@@ -152,12 +164,27 @@ class ShardedJaxEngine(JaxEngine):
     def coeff_to_extended_coset(self, vec):
         en = self.d.extended_n
         padded = jnp.zeros((en, NLIMB), jnp.uint32).at[:vec.shape[0]].set(vec)
-        scaled = jfield.mont_mul(JFR, padded, self._coset_scale)
+        scaled = jfield.mont_mul(JFR, padded,
+                                 self._part_pows(self.d.coset_shift, en))
         return self._fwd_ext(scaled)
 
     def extended_coset_to_coeff(self, vec):
         coeffs = self._inv_ext(vec)
-        return jfield.mont_mul(JFR, coeffs, self._coset_unscale)
+        from ..fields.bn254 import inv_mod as _inv
+        unscale = self._part_pows(_inv(self.d.coset_shift, R),
+                                  self.d.extended_n)
+        return jfield.mont_mul(JFR, coeffs, unscale)
+
+    # parts: per-vector four-step NTTs (the batched gather-NTT stack of the
+    # base engine would be GSPMD-partitioned into the round-1 compile
+    # blowup; the explicit shard_map four-step stays fast)
+    def coeff_to_part(self, vec, q):
+        from . import polyops as _po
+        c = _po.part_shift(self.d, q)
+        return self._fwd_n(jfield.mont_mul(JFR, vec, self._part_pows(c)))
+
+    def coeff_to_part_stack(self, vecs, q):
+        return [self.coeff_to_part(v, q) for v in vecs]
 
     # commitment ---------------------------------------------------------
     def _commit(self, ctx, vecs):

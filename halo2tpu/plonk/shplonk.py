@@ -16,9 +16,10 @@ The verifier then checks  e(acc, [1]_2) * e(W', [-tau]_2) == 1  with
   acc = sum_k nu^k d_k ([f_k] - r_k(mu) G) - Z_0(mu) W + mu W',
 which equals [X * L(X)/(X-mu)] = tau W'.
 
-Poly combination/commitment run on the prover engine; the per-set
-interpolations and the exact divisions by tiny vanishing sets are host-side
-(O(n) python over at most a handful of sets).
+Everything stays engine-resident: per-set interpolations are host-side (at
+most 3 points per set), but the synthetic divisions by (X - a) run as
+engine suffix-scans (engine.div_linear) — the round-2 version pulled every
+combined poly to the host (~10 MB device reads per proof at 7 MB/s).
 """
 from __future__ import annotations
 
@@ -63,17 +64,6 @@ def group_rotation_sets(queries: list[Query]):
     return sets, poly_coeffs
 
 
-def _divide_linear(p: list, a: int) -> list:
-    """p(X) / (X - a) (exact synthetic division, remainder dropped)."""
-    out = [0] * (len(p) - 1)
-    acc = 0
-    for i in range(len(p) - 1, 0, -1):
-        acc = (p[i] + acc) % R
-        out[i - 1] = acc
-        acc = acc * a % R
-    return out
-
-
 def _interpolate(points: list[int], values: list[int]) -> list[int]:
     """Lagrange interpolation -> coefficient list of len(points)."""
     m = len(points)
@@ -102,7 +92,7 @@ def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query],
     sets, poly_coeffs = group_rotation_sets(queries)
     n = d.n
 
-    # per-set combined polys (engine) and interpolations (host)
+    # per-set combined polys (engine) and interpolations (host, <= 3 points)
     set_data = []
     for s_ in sets:
         f = eng.const_vec(0, n)
@@ -111,25 +101,26 @@ def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query],
             f = eng.add(f, eng.scale(poly_coeffs[pid], zp))
             zp = zp * zeta % R
         points = [rotate_omega(d, x, rot) for rot in s_["rotations"]]
-        values = [eng.eval_poly(f, pt) for pt in points]
-        r_coeffs = _interpolate(points, values)
-        set_data.append({"f": f, "f_ints": eng.to_ints(f),
-                         "points": points, "r": r_coeffs})
+        set_data.append({"f": f, "points": points})
+    values = eng.eval_polys(
+        [(sd["f"], pt) for sd in set_data for pt in sd["points"]])
+    vi = 0
+    for sd in set_data:
+        m = len(sd["points"])
+        sd["r"] = _interpolate(sd["points"], values[vi:vi + m])
+        vi += m
 
-    # h(X) = sum nu^k (f_k - r_k) / Z_k   (division host-side: per set it is
-    # |T_k| synthetic divisions, |T_k| <= 3)
-    h_ints = [0] * n
+    # h(X) = sum nu^k (f_k - r_k) / Z_k  — engine-resident: subtract the
+    # (tiny) interpolant, then one div_linear suffix-scan per point
+    h_vec = eng.const_vec(0, n)
     nup = 1
     for sd in set_data:
-        q = [(a - (sd["r"][i] if i < len(sd["r"]) else 0)) % R
-             for i, a in enumerate(sd["f_ints"])]
+        r_pad = sd["r"] + [0] * (n - len(sd["r"]))
+        q = eng.sub(sd["f"], eng.from_ints(r_pad))
         for pt in sd["points"]:
-            q = _divide_linear(q, pt)
-            q.append(0)
-        for i, c in enumerate(q):
-            h_ints[i] = (h_ints[i] + nup * c) % R
+            q = eng.div_linear(q, pt)
+        h_vec = eng.add(h_vec, eng.scale(q, nup))
         nup = nup * nu % R
-    h_vec = eng.from_ints(h_ints)
     t.write_point(eng.commit_batch([h_vec])[0])
 
     mu = t.squeeze_challenge()
@@ -147,18 +138,18 @@ def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query],
 
     # L(X) = sum nu^k d_k (f_k(X) - r_k(mu)) - Z_0(mu) h(X), then / (X - mu)
     from .polyops import eval_poly as host_eval
-    L = [0] * n
+    L = eng.const_vec(0, n)
     nup = 1
+    const_corr = 0          # the -coef*r_k(mu) terms all land on coeff 0
     for sd, dk in zip(set_data, d_norm):
         r_mu = host_eval(sd["r"], mu)
         coef = nup * dk % R
-        for i, c in enumerate(sd["f_ints"]):
-            L[i] = (L[i] + coef * c) % R
-        L[0] = (L[0] - coef * r_mu) % R
+        L = eng.add(L, eng.scale(sd["f"], coef))
+        const_corr = (const_corr - coef * r_mu) % R
         nup = nup * nu % R
-    negz0 = (-z0_mu) % R
-    for i, c in enumerate(h_ints):
-        L[i] = (L[i] + negz0 * c) % R
+    corr = eng.set_rows(eng.const_vec(0, n), 0, [const_corr])
+    L = eng.add(L, corr)
+    L = eng.add(L, eng.scale(h_vec, (-z0_mu) % R))
 
-    w_prime = _divide_linear(L, mu) + [0]
-    t.write_point(eng.commit_batch([eng.from_ints(w_prime)])[0])
+    w_prime = eng.div_linear(L, mu)
+    t.write_point(eng.commit_batch([w_prime])[0])
