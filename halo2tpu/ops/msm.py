@@ -44,7 +44,12 @@ TABLE_W = 1 << WINDOW_BITS          # multiples per base, incl. identity
 NUM_WINDOWS = 256 // WINDOW_BITS    # digit planes (top planes of <2^254 are 0)
 
 
-_FOLD_WIDTH = 128   # C: point-lanes per fold step (254*B*C live accumulator lanes)
+# C: point-lanes per fold step.  Total fold work is C-independent
+# (rows x L = planes x B x n lane-adds) and the whole row loop is one
+# compiled program (_partials_fused), so C only sizes the per-iteration
+# transients (selected points: 3*16*planes*B*C in f32 + u32 ~ 100 MB at
+# C=256) against accumulator lane-width utilization.
+_FOLD_WIDTH = 256
 
 
 # The reduction is driven from Python with exactly TWO compiled padd-step
@@ -196,36 +201,50 @@ def _window_digits(sc):
     return jnp.moveaxis(d, -1, 0)
 
 
-@partial(jax.jit, donate_argnums=0, static_argnums=(4, 5))
-def _pallas_row_step_w(acc, table, scalar_limbs, r, C, tile):
-    """One windowed pallas row fold: select-and-add the r-th group of C
-    bases' digit multiples into every (digit-plane, batch) group."""
-    from .pallas_ec import _fold_windowed_tiled
-    tab_c = jax.lax.dynamic_slice_in_dim(table, r * C, C, axis=2)
-    sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
-    digs = _window_digits(sc).reshape(1, -1)
-    pad = acc.shape[-1] - digs.shape[-1]
-    if pad:
-        digs = jnp.pad(digs, ((0, 0), (0, pad)))   # digit 0 -> inert
-    return _fold_windowed_tiled(acc, tab_c, digs, tile, TABLE_W)
+@partial(jax.jit, static_argnums=(2,))
+def _partials_fused(table_f, scalar_limbs, C):
+    """The ENTIRE windowed fold — row loop, tail tree-fold, transpose — as
+    ONE XLA program, so an MSM batch is a single dispatch.
 
+    Two axon-runtime findings shape this design:
+      * the per-lane table select runs in XLA as an exact one-hot float32
+        einsum (HIGHEST precision; limb values < 2^16 are exact, exactly
+        one nonzero term per sum) — doing it inside the pallas kernel cost
+        ~27 ms/step in Mosaic relayouts;
+      * once a process has performed any device->host read, every
+        DEPENDENT dispatch waits a full ~30 ms tunnel round-trip before
+        issue, so a 32-step python-driven fold chain costs ~1 s of pure
+        latency.  Chains inside one compiled program are free.
 
-def _digit_partials_pallas(table, scalar_limbs, fold_width=None):
-    """Windowed fold pipeline: table (3, 16*W, n); scalar_limbs (B, n, 16)
+    table_f: (3, W, 16, n) float32 multiples; scalar_limbs (B, n, 16)
     plain limbs.  Returns (B, NUM_WINDOWS, 3, 16) per-digit-plane sums."""
-    from .pallas_ec import (_pick_tile, fold_add_any, from_limb_major,
+    from .pallas_ec import (TILE, fold_add_any, fold_mixed, from_limb_major,
                             identity_lm)
-    n = table.shape[-1]
+    n = table_f.shape[-1]
     bsz = scalar_limbs.shape[0]
-    C = min(n, fold_width or _FOLD_WIDTH)
     rows = n // C
     G = NUM_WINDOWS * bsz
     L = G * C
-    tile = _pick_tile(L, C)
-    lpad = -L % tile
-    acc = identity_lm(L + lpad)
-    for r in range(rows):
-        acc = _pallas_row_step_w(acc, table, scalar_limbs, r, C, tile)
+    lpad = -L % TILE
+    acc0 = identity_lm(L + lpad)
+    ones = jnp.ones((1, L + lpad), jnp.uint32)
+    wrange = jnp.arange(TABLE_W, dtype=jnp.uint32)
+
+    def body(r, acc):
+        tab_c = jax.lax.dynamic_slice_in_dim(table_f, r * C, C, axis=3)
+        sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
+        digs = _window_digits(sc).reshape(G, C)
+        oh = (digs[:, None, :] == wrange[None, :, None]).astype(jnp.float32)
+        sel = jnp.einsum("cwlk,gwk->clgk", tab_c, oh,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        sel = sel.astype(jnp.uint32).reshape(3, NLIMB, L)
+        if lpad:
+            sel = jnp.pad(sel, ((0, 0), (0, 0), (0, lpad)))
+        # digit 0 / padded bases select identity entries (z = 0) -> inert
+        return fold_mixed(acc, sel, ones)
+
+    acc = jax.lax.fori_loop(0, rows, body, acc0)
     acc = acc[:, :, :L]
     width = C
     while width > 1:
@@ -236,6 +255,12 @@ def _digit_partials_pallas(table, scalar_limbs, fold_width=None):
         width = half
     out = from_limb_major(acc, (NUM_WINDOWS, bsz))
     return jnp.transpose(out, (1, 0, 2, 3))
+
+
+def _digit_partials_pallas(table_f, scalar_limbs, fold_width=None):
+    n = table_f.shape[-1]
+    C = min(n, fold_width or _FOLD_WIDTH)
+    return _partials_fused(table_f, scalar_limbs, C)
 
 
 @partial(jax.jit, donate_argnums=())
@@ -370,7 +395,8 @@ def _partials_to_affine(partials) -> list:
 
 class MSMContext:
     """Caches device-resident SRS bases (padded to a power of two) and,
-    on the pallas path, their windowed multiple table (lazily built)."""
+    on the pallas path, their windowed multiple table (lazily built,
+    stored (3, W, 16, n) float32 for the exact one-hot select)."""
 
     def __init__(self, points: list):
         n = len(points)
@@ -384,15 +410,33 @@ class MSMContext:
     def table(self):
         if self._table is None:
             from .pallas_ec import to_limb_major
-            self._table = precompute_window_table(to_limb_major(self.points))
+            tab = precompute_window_table(to_limb_major(self.points))
+            npad = tab.shape[-1]
+            self._table = jax.jit(
+                lambda t: t.reshape(3, TABLE_W, NLIMB, npad)
+                .astype(jnp.float32))(tab)
         return self._table
+
+    def partials(self, plain_limbs):
+        """(B, npad, 16) plain scalar limbs (device) -> device partial sums
+        ((B, NUM_WINDOWS, 3, 16) windowed or (B, 254, 3, 16) bit-serial).
+        No device->host transfer: batches accumulate device-side so a whole
+        commit phase pays ONE read (finalize)."""
+        if _use_pallas():
+            return _digit_partials_pallas(self.table, plain_limbs)
+        return _bit_partials(self.points, plain_limbs)
+
+    def finalize(self, partials_batches: list) -> list:
+        """Stacked per-batch partials -> host affine points (one read)."""
+        stacked = partials_batches[0] if len(partials_batches) == 1 else \
+            jnp.concatenate(partials_batches, axis=0)
+        if _use_pallas():
+            return _wpartials_to_affine(stacked)
+        return _partials_to_affine(stacked)
 
     def commit_limbs(self, plain_limbs) -> list:
         """(B, npad, 16) plain scalar limbs (device) -> B host affine."""
-        if _use_pallas():
-            return _wpartials_to_affine(
-                _digit_partials_pallas(self.table, plain_limbs))
-        return _partials_to_affine(_bit_partials(self.points, plain_limbs))
+        return self.finalize([self.partials(plain_limbs)])
 
     def commit_batch(self, scalar_vectors: list[list[int]]) -> list:
         npad = self.points.shape[0]

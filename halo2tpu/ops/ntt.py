@@ -10,6 +10,13 @@ HBM and minutes of host build time; the arithmetic costs a few VPU ops).
 The only tables are the bit-reversal permutation (n int32, built vectorized
 in numpy) and a flat half-size twiddle array omega^t, t < n/2.
 
+CRITICAL dispatch rule (round-3 finding): the plan tables are passed to the
+jitted transform as ARGUMENTS, never closed over / reached through a static
+argument.  A jitted program that embeds a multi-megabyte device constant
+runs ~30 ms/call on the axon TPU runtime AND permanently degrades every
+subsequent dispatch in the process to ~30 ms (a >300x tax that silently
+dominated the round-2 prover profile).
+
 Replaces halo2's rayon-parallel best_fft; the multi-chip variant shards the
 leading axis and exchanges butterfly halves over ICI (parallel/ntt.py).
 """
@@ -34,8 +41,8 @@ def _bit_reverse_perm(logn: int) -> np.ndarray:
 
 
 class NTTPlan:
-    """Precomputed tables for size-n NTT with root omega.
-    Hashable by (n, omega) for use as a static jit argument."""
+    """Precomputed tables for size-n NTT with root omega (device arrays,
+    handed to the jitted transform as runtime arguments)."""
 
     def __init__(self, n: int, omega: int):
         assert n & (n - 1) == 0 and n >= 2
@@ -49,13 +56,8 @@ class NTTPlan:
         for t in range(1, n // 2):
             tws[t] = tws[t - 1] * omega % R
         self.tw_flat = jnp.asarray(ints_to_limbs(tws))
-
-    def __hash__(self):
-        return hash((self.n, self.omega))
-
-    def __eq__(self, other):
-        return (isinstance(other, NTTPlan)
-                and (self.n, self.omega) == (other.n, other.omega))
+        # 1/n (Montgomery), for the inverse transform
+        self.n_inv = jnp.asarray(ints_to_limbs([inv_mod(n, R) * FR.r % R])[0])
 
 
 @lru_cache(maxsize=None)
@@ -64,55 +66,58 @@ def get_plan(n: int, omega: int) -> NTTPlan:
 
 
 @partial(jax.jit, static_argnums=0)
+def _ntt_run(logn: int, perm, tw_flat, a):
+    """Stockham autosort DIF: logn unrolled stages of slice + butterfly +
+    concat/reshape.  No bit-reversal pass, no index-computed gathers — the
+    axon TPU runtime degrades EVERY subsequent dispatch ~300x after running
+    a program with multi-gather/concat-gather patterns (round-3 finding),
+    so the transform is built exclusively from clean ops: static slices,
+    strided twiddle subsampling, broadcasts, concatenation.
+
+    Invariant: x flat-indexed as [(j, c)] = flat[j*m + c] holds the j-th
+    input of a size-2l sub-DFT for output group c.  A stage computes
+    E = x0+x1 (even outputs) and O = (x0-x1)*w_{2l}^j (odd outputs) and
+    appends the branch bit as the next output-index bit: (l, 2m) layout
+    [E | O] along the group axis."""
+    n = 1 << logn
+    batch = a.shape[1:-1]
+    x = a
+    l, m = n // 2, 1
+    for _ in range(logn):
+        x0 = x[:l * m]
+        x1 = x[l * m:]
+        # w_{2l}^j, j = i // m: subsample tw_flat by the stage stride, then
+        # repeat each entry m times via broadcast (both clean ops)
+        stride = n // (2 * l)
+        w = tw_flat[::stride][:l]                       # (l, 16)
+        w = jnp.broadcast_to(w[:, None, :], (l, m, 16)).reshape(
+            (l * m,) + (1,) * len(batch) + (16,))
+        w = jnp.broadcast_to(w, x1.shape)
+        e = add(FR, x0, x1)
+        o = mont_mul(FR, sub(FR, x0, x1), w)
+        eg = e.reshape((l, m) + batch + (16,))
+        og = o.reshape((l, m) + batch + (16,))
+        x = jnp.concatenate([eg, og], axis=1).reshape((n,) + batch + (16,))
+        l //= 2
+        m *= 2
+    return x
+
+
 def ntt(plan: NTTPlan, a):
     """Forward in-order NTT over axis 0 of (n, ..., 16) Montgomery-form
     limbs: out[i] = sum_j a[j] omega^(ij).  Interior axes are batch dims
     (the four-step sharded NTT transforms matrix columns in place)."""
-    n, logn = plan.n, plan.logn
-    x0 = a[plan.perm]
-    half = n // 2
-    pos = jnp.arange(half, dtype=jnp.int32)
-    out_idx = jnp.arange(n, dtype=jnp.int32)
-    tw_shape = (half,) + (1,) * (a.ndim - 2) + (16,)
+    return _ntt_run(plan.logn, plan.perm, plan.tw_flat, a)
 
-    def stage(s, x):
-        # stage s: blocks of m = 2^s butterflies; for flat butterfly pos p:
-        #   j = p & (m-1), even index = ((p >> s) << (s+1)) + j, odd = even+m
-        #   twiddle = omega^(j << (logn-1-s))
-        j = pos & ((1 << s) - 1)
-        even = ((pos >> s) << (s + 1)) + j
-        odd = even + (1 << s)
-        twi = j << (logn - 1 - s)
-        e = x[even]
-        xo = x[odd]
-        tw = plan.tw_flat[twi].reshape(tw_shape)
-        if tw.shape != xo.shape and jax.default_backend() in ("tpu", "axon"):
-            # materialize the twiddle broadcast so the same-shape pallas
-            # mont_mul fast path applies (jfield._pallas_flat_ok); the
-            # gathered twiddles are data-dependent, so no const-folding risk
-            tw = jnp.broadcast_to(tw, xo.shape)
-        o = mont_mul(FR, xo, tw)
-        lo = add(FR, e, o)
-        hi = sub(FR, e, o)
-        # inverse placement: output q comes from butterfly
-        #   p = ((q >> (s+1)) << s) + (q & (m-1)), hi half if bit s of q set
-        src = ((out_idx >> (s + 1)) << s) + (out_idx & ((1 << s) - 1))
-        is_hi = (out_idx >> s) & 1
-        return jnp.concatenate([lo, hi], axis=0)[src + is_hi * half]
 
-    return jax.lax.fori_loop(0, logn, stage, x0)
+@partial(jax.jit, static_argnums=0)
+def _intt_run(logn: int, perm, tw_flat, n_inv, a):
+    out = _ntt_run(logn, perm, tw_flat, a)
+    return mont_mul(FR, out, jnp.broadcast_to(n_inv, out.shape))
 
 
 def intt(plan_fwd: NTTPlan, a):
     """Inverse NTT using the inverse-omega plan + 1/n scaling."""
-    n = plan_fwd.n
-    inv_plan = get_plan(n, inv_mod(plan_fwd.omega, R))
-    return _intt_scaled(inv_plan, a)
-
-
-@partial(jax.jit, static_argnums=0)
-def _intt_scaled(inv_plan: NTTPlan, a):
-    out = ntt(inv_plan, a)
-    n_inv_mont = jnp.asarray(
-        ints_to_limbs([inv_mod(inv_plan.n, R) * FR.r % R])[0])
-    return mont_mul(FR, out, jnp.broadcast_to(n_inv_mont, out.shape))
+    inv_plan = get_plan(plan_fwd.n, inv_mod(plan_fwd.omega, R))
+    return _intt_run(inv_plan.logn, inv_plan.perm, inv_plan.tw_flat,
+                     inv_plan.n_inv, a)

@@ -52,7 +52,10 @@ def _mm(a, b):
 
 def _padd_mixed_lm(acc3, pts3, valid):
     """Mixed add acc += (x2, y2) where valid (T,) masks real vs identity
-    contributions.  acc3/pts3: (3, 16, T).  madd-2007-bl, as jpoint.py:128."""
+    contributions.  acc3/pts3: (3, 16, T).  madd-2007-bl, as jpoint.py:128,
+    plus the equal/inverse-point lanes (acc == ±point -> doubling/identity):
+    equal-digit collisions are routine when an MSM carries duplicate bases,
+    and silently emitting Z3 = 0 there corrupts the whole fold."""
     X1, Y1, Z1 = acc3[0], acc3[1], acc3[2]
     x2, y2 = pts3[0], pts3[1]
     Z1Z1 = _mm(Z1, Z1)
@@ -75,10 +78,18 @@ def _padd_mixed_lm(acc3, pts3, valid):
     Z3 = sub_lm(KQ, sub_lm(KQ, zh2, Z1Z1), HH)
     gen = jnp.stack([X3, Y3, Z3])
 
+    t = Z1.shape[-1]
+    same_x = is_zero_lm(H)
+    same_y = is_zero_lm(sub_lm(KQ, S2, Y1))
+    dblv = _pdbl_lm(acc3)
+    inf = jnp.stack([const_vec(KQ.one_mont, t), const_vec(KQ.one_mont, t),
+                     jnp.zeros((16, t), jnp.uint32)])
+    out = gen
+    out = jnp.where((same_x & same_y)[None, None, :], dblv, out)
+    out = jnp.where((same_x & ~same_y)[None, None, :], inf, out)
     p_inf = is_zero_lm(Z1)
-    one = const_vec(KQ.one_mont, Z1.shape[-1])
-    q_jac = jnp.stack([x2, y2, one])
-    out = jnp.where(p_inf[None, None, :], q_jac, gen)
+    q_jac = jnp.stack([x2, y2, const_vec(KQ.one_mont, t)])
+    out = jnp.where(p_inf[None, None, :], q_jac, out)
     return jnp.where(valid[None, None, :], out, acc3)
 
 
@@ -256,52 +267,9 @@ def fold_mixed_tiled(acc, pts_c, bits):
                                                           pts_c.shape[-1]))
 
 
-def _windowed_tiled_kernel(rep: int, W: int, acc_ref, tab_ref, dig_ref,
-                           out_ref):
-    """Windowed MSM row fold: for every accumulator lane, select the
-    digit-th multiple of its base point from the per-base table and add it.
-
-    tab_ref: (3, 16*W, C) — tab[:, 16*w:16*(w+1), c] = affine w*P_c
-    (z = Montgomery 1, or z = 0 for w = 0 / identity-padded bases).
-    dig_ref: (1, tile) uint32 window digits in [0, W).  The digit compare
-    select is ~W cheap vector ops per lane vs the ~11 field muls of the
-    add itself, buying a (254/digits)x cut in EC adds over the bit-serial
-    fold."""
-    dig = dig_ref[0]
-    sel = None
-    for w in range(W):
-        tw = tab_ref[:, 16 * w:16 * (w + 1), :]
-        if rep > 1:
-            tw = jnp.concatenate([tw] * rep, axis=-1)
-        if sel is None:
-            sel = tw
-        else:
-            sel = jnp.where((dig == w)[None, None, :], tw, sel)
-    valid = ~is_zero_lm(sel[2])
-    out_ref[:] = _padd_mixed_lm(acc_ref[:], sel, valid)
-
-
-@partial(jax.jit, donate_argnums=0, static_argnums=(3, 4))
-def _fold_windowed_tiled(acc, tab, digits, tile, W):
-    L = acc.shape[-1]
-    c = tab.shape[-1]
-    assert L % tile == 0 and tile % c == 0, (L, tile, c)
-    rep = tile // c
-    grid = (L // tile,)
-    spec_acc = pl.BlockSpec((3, 16, tile), lambda i: (0, 0, i),
-                            memory_space=pltpu.VMEM)
-    spec_tab = pl.BlockSpec((3, 16 * W, c), lambda i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        partial(_windowed_tiled_kernel, rep, W),
-        grid=grid,
-        in_specs=[spec_acc, spec_tab, dspec],
-        out_specs=spec_acc,
-        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.uint32),
-        interpret=_use_interpret(),
-    )(acc, tab, digits)
+# (The in-kernel windowed table select that lived here cost ~27 ms/step in
+# Mosaic relayouts; the select now happens in XLA as an exact one-hot f32
+# einsum — ops/msm.py:_row_step_onehot — and the fold reuses fold_mixed.)
 
 
 @partial(jax.jit, donate_argnums=0, static_argnums=2)

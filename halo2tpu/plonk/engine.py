@@ -146,6 +146,10 @@ class HostEngine:
     def parts_to_h_chunks(self, parts, qpd):
         return polyops.parts_to_h_chunks(parts, self.d, qpd)
 
+    @staticmethod
+    def check_lookup_fails(fails):
+        pass  # host path raises eagerly inside permute_lookup
+
     # lookup permutation (grouping form; see prover._permute_lookup docs)
     def permute_lookup(self, comp_input, comp_table, usable):
         a = sorted(comp_input[:usable])
@@ -170,7 +174,7 @@ class HostEngine:
                 s[i] = rest[ri]
                 ri += 1
         n = self.d.n
-        return a + [0] * (n - usable), s + [0] * (n - usable)
+        return a + [0] * (n - usable), s + [0] * (n - usable), None
 
     # evaluation & commitment
     def eval_poly(self, coeffs, x):
@@ -191,6 +195,27 @@ class HostEngine:
             out[i - 1] = acc
             acc = acc * a % R
         return out
+
+    def weighted_sum(self, vecs, coefs):
+        out = [0] * len(vecs[0])
+        for v, c in zip(vecs, coefs):
+            c %= R
+            for i, x in enumerate(v):
+                out[i] = (out[i] + c * x) % R
+        return out
+
+    def perm_numden(self, cols, sigmas, omega_pows, beta, gamma, deltas):
+        """One permutation chunk's grand-product numerator/denominator."""
+        n = len(cols[0])
+        num = self.const_vec(1, n)
+        den = self.const_vec(1, n)
+        for vals, sig, delta in zip(cols, sigmas, deltas):
+            id_part = self.scale(omega_pows, beta * delta % R)
+            num = self.mul(num, self.add_const(self.add(vals, id_part),
+                                               gamma))
+            den = self.mul(den, self.add_const(
+                self.add(vals, self.scale(sig, beta)), gamma))
+        return num, den
 
     def grand_products(self, nums, dens):
         """Per-vector prefix products of num/den ratios (permutation +
@@ -227,13 +252,114 @@ def _tree_sum(spec, arr):
     return arr[0]
 
 
-def _sort_by_value(arr, extra=(), num_extra_keys=0):
-    """Sort (m, 16) plain limb rows ascending by value; extra (m,) operands
-    ride along (first num_extra_keys of them as trailing sort keys)."""
-    ops = tuple(arr[:, NLIMB - 1 - i] for i in range(NLIMB)) + tuple(extra)
-    out = jax.lax.sort(ops, num_keys=NLIMB + num_extra_keys, is_stable=True)
-    sorted_arr = jnp.stack(out[:NLIMB][::-1], axis=1)
-    return sorted_arr, out[NLIMB:]
+# ---------------------------------------------------------------------------
+# fused single-dispatch helpers.  The axon runtime serializes DEPENDENT
+# dispatches at ~30 ms each once any device->host read has happened, so
+# every log-depth scan / Horner chain / power-vector build must live inside
+# ONE compiled program; across programs, only independent work pipelines.
+
+@jax.jit
+def _wsum_jit(stacked, coefs):
+    """sum_i coefs[i] * stacked[i] over axis 0: (m, n, 16) x (m, 16)."""
+    prod = jfield.mont_mul(JFR, stacked,
+                           jnp.broadcast_to(coefs[:, None, :], stacked.shape))
+    return _tree_sum(JFR, prod)
+
+
+def _pow_block(a_enc, n):
+    """In-graph [a^0 .. a^(n-1)] by doubling (n a power of two)."""
+    out = jnp.broadcast_to(jnp.asarray(JFR.one_mont), (1, jfield.NLIMB))
+    step = a_enc
+    while out.shape[0] < n:
+        scaled = jfield.mont_mul(JFR, out,
+                                 jnp.broadcast_to(step[None], out.shape))
+        out = jnp.concatenate([out, scaled], axis=0)
+        step = jfield.mont_mul(JFR, step[None], step[None])[0]
+    return out[:n]
+
+
+@jax.jit
+def _div_linear_jit(vec, a_enc, ainv_enc):
+    """vec(X)/(X - a): power vectors built in-graph + one suffix scan,
+    all one dispatch."""
+    n = vec.shape[0]
+    P = _pow_block(a_enc, n)
+    IP = _pow_block(ainv_enc, n)
+    t = jfield.mont_mul(JFR, vec, P)
+    S = jfield.suffix_sum_mod(JFR, t)
+    Sshift = jnp.concatenate(
+        [S[1:], jnp.zeros((1, jfield.NLIMB), jnp.uint32)], axis=0)
+    out = jfield.mont_mul(JFR, Sshift, IP)
+    return jfield.mont_mul(JFR, out,
+                           jnp.broadcast_to(ainv_enc, out.shape))
+
+
+@jax.jit
+def _gp_chunk_jit(nums, dens):
+    """(m, n, 16) stacked grand-product numerators/denominators -> per-
+    vector prefix products of num/den, one dispatch."""
+    m, n = nums.shape[0], nums.shape[1]
+    den_inv = jfield.batch_inv_scan(JFR, dens.reshape(m * n, jfield.NLIMB))
+    ratios = jfield.mont_mul(JFR, nums,
+                             den_inv.reshape(m, n, jfield.NLIMB))
+    return jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
+
+
+@jax.jit
+def _gp_numden_jit(cols, sigmas, omega_pows, bds, beta, gamma):
+    """One permutation chunk's grand-product numerator & denominator:
+    num = prod_j (col_j + beta*delta_j*omega_pows + gamma)
+    den = prod_j (col_j + beta*sigma_j + gamma).  cols/sigmas (m, n, 16);
+    bds (m, 16) = beta*delta_j; one dispatch per chunk."""
+    m = cols.shape[0]
+    shape = cols.shape[1:]
+    num = jnp.broadcast_to(jnp.asarray(JFR.one_mont), shape)
+    den = jnp.broadcast_to(jnp.asarray(JFR.one_mont), shape)
+    gb = jnp.broadcast_to(gamma, shape)
+    bb = jnp.broadcast_to(beta, shape)
+    for j in range(m):
+        idp = jfield.mont_mul(JFR, omega_pows,
+                              jnp.broadcast_to(bds[j], shape))
+        num = jfield.mont_mul(JFR, num, jfield.add(
+            JFR, jfield.add(JFR, cols[j], idp), gb))
+        sg = jfield.mont_mul(JFR, sigmas[j], bb)
+        den = jfield.mont_mul(JFR, den, jfield.add(
+            JFR, jfield.add(JFR, cols[j], sg), gb))
+    return num, den
+
+
+@jax.jit
+def _eval_group_jit(stacked, pows):
+    """(P, n, 16) polys x (n, 16) powers -> (P, 16) evaluations."""
+    prod = jfield.mont_mul(JFR, stacked,
+                           jnp.broadcast_to(pows[None], stacked.shape))
+    while prod.shape[1] > 1:
+        half = prod.shape[1] // 2
+        head = jfield.add(JFR, prod[:, :half], prod[:, half:2 * half])
+        prod = head if 2 * half == prod.shape[1] else \
+            jnp.concatenate([head, prod[:, 2 * half:]], axis=1)
+    return prod[:, 0]
+
+
+_NW = NLIMB // 2      # packed key words per field element (2 limbs / u32)
+
+
+def _pack_words(limbs):
+    """(m, 16) 16-bit limbs -> (m, 8) packed u32 words, word 0 = MSW
+    (lexicographic word order == numeric order)."""
+    cols = [(limbs[:, NLIMB - 1 - 2 * j] << 16) | limbs[:, NLIMB - 2 - 2 * j]
+            for j in range(_NW)]
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_words(words):
+    """(m, 8) packed words -> (m, 16) limbs."""
+    cols = []
+    for i in range(NLIMB):
+        j = (NLIMB - 1 - i) // 2
+        w = words[:, j]
+        cols.append((w >> 16) if i % 2 else (w & jnp.uint32(0xFFFF)))
+    return jnp.stack(cols, axis=1)
 
 
 def _permute_lookup_jit(u: int, a_plain, t_plain):
@@ -241,49 +367,78 @@ def _permute_lookup_jit(u: int, a_plain, t_plain):
     TPU" hard part): returns (A' plain, S' plain, fail) with rows >= u
     zeroed.  A' = sorted inputs; S' = table permuted so every first
     occurrence in A' has S'[i] = A'[i], leftovers fill gaps in ascending
-    value order.  All-0xFFFFFFFF limb rows are unreachable sentinels
-    (real limbs are 16-bit)."""
+    value order (the host engine mirrors this rule, so proofs are
+    engine-independent).
+
+    Built ENTIRELY from bitonic sorts + elementwise ops: lax.sort with wide
+    keys does not compile in workable time on this TPU stack, and
+    data-dependent gathers degrade the runtime's dispatch pipelining — even
+    the leftover->gap scatter is realized as a sort-based merge.  All-ones
+    words are unreachable sentinels (real values < 2^254)."""
+    from ..ops.sort import bitonic_sort_rows
     n = a_plain.shape[0]
-    row = jnp.arange(n)
+    row = jnp.arange(n, dtype=jnp.uint32)
     pad = row >= u
-    FF = jnp.uint32(0xFFFFFFFF)
-    a1 = jnp.where(pad[:, None], FF, a_plain)
-    t1 = jnp.where(pad[:, None], FF, t_plain)
+    FFW = jnp.uint32(0xFFFFFFFF)
+    aw = jnp.where(pad[:, None], FFW, _pack_words(a_plain))
+    tw = jnp.where(pad[:, None], FFW, _pack_words(t_plain))
 
-    ap, _ = _sort_by_value(a1)
-    prev = jnp.concatenate([jnp.full((1, NLIMB), FF, jnp.uint32), ap[:-1]], 0)
-    first = ((row == 0) | jnp.any(ap != prev, axis=1)) & ~pad
+    # 1) A' = sort(A) (unique idx tie-break word)
+    s1 = bitonic_sort_rows(jnp.concatenate([aw, row[:, None]], axis=1))
+    apw = s1[:, :_NW]
+    prev = jnp.concatenate([jnp.full((1, _NW), FFW, jnp.uint32), apw[:-1]], 0)
+    first = ((row == 0) | jnp.any(apw != prev, axis=1)) & ~pad
 
-    # markers (distinct A' values) + table entries, sorted by (value, flag):
-    # a table copy directly after a marker is the consumed one
-    mark = jnp.where(first[:, None], ap, FF)
-    vals = jnp.concatenate([mark, t1], axis=0)
+    # 2) markers (distinct A' values) + table entries sorted by
+    #    (value, flag): the table copy directly after a marker is consumed
+    mark = jnp.where(first[:, None], apw, FFW)
+    vals = jnp.concatenate([mark, tw], axis=0)
     flag = jnp.concatenate([jnp.zeros(n, jnp.uint32), jnp.ones(n, jnp.uint32)])
-    svals, (sflag,) = _sort_by_value(vals, (flag,), num_extra_keys=1)
+    row2 = jnp.arange(2 * n, dtype=jnp.uint32)
+    s2 = bitonic_sort_rows(jnp.concatenate(
+        [vals, flag[:, None], row2[:, None]], axis=1))
+    svalw, sflag = s2[:, :_NW], s2[:, _NW]
     prev_flag = jnp.concatenate([jnp.ones(1, jnp.uint32), sflag[:-1]])
     prev_vals = jnp.concatenate(
-        [jnp.full((1, NLIMB), FF, jnp.uint32), svals[:-1]], 0)
-    eq_prev = jnp.all(svals == prev_vals, axis=1)
+        [jnp.full((1, _NW), FFW, jnp.uint32), svalw[:-1]], 0)
+    eq_prev = jnp.all(svalw == prev_vals, axis=1)
     consumed = (sflag == 1) & (prev_flag == 0) & eq_prev
-    is_ff = jnp.all(svals == FF, axis=1)
+    is_ff = jnp.all(svalw == FFW, axis=1)
     nxt_flag = jnp.concatenate([sflag[1:], jnp.zeros(1, jnp.uint32)])
-    nxt_vals = jnp.concatenate([svals[1:], jnp.zeros((1, NLIMB), jnp.uint32)], 0)
-    eq_next = jnp.all(svals == nxt_vals, axis=1)
+    nxt_vals = jnp.concatenate([svalw[1:], jnp.zeros((1, _NW), jnp.uint32)], 0)
+    eq_next = jnp.all(svalw == nxt_vals, axis=1)
     fail = jnp.any((sflag == 0) & ~is_ff & ~((nxt_flag == 1) & eq_next))
 
-    # compact unconsumed table entries (already ascending) to the front
+    # 3) compact leftovers (unconsumed real table entries) to the front,
+    #    preserving ascending value order via the sequence tie-break
     left = (sflag == 1) & ~consumed & ~is_ff
     ckey = jnp.where(left, jnp.uint32(0), jnp.uint32(1))
-    cops = (ckey,) + tuple(svals[:, NLIMB - 1 - i] for i in range(NLIMB))
-    cs = jax.lax.sort(cops, num_keys=1, is_stable=True)
-    leftover = jnp.stack(cs[1:][::-1], axis=1)
+    s3 = bitonic_sort_rows(jnp.concatenate(
+        [ckey[:, None], row2[:, None], svalw], axis=1))
+    lvals = s3[:, 2:]                       # k-th row = k-th leftover value
+    lreal = s3[:, 0] == 0
 
-    gap_rank = jnp.cumsum((~first & ~pad).astype(jnp.int32)) - 1
-    sp = jnp.where(first[:, None], ap,
-                   leftover[jnp.clip(gap_rank, 0, 2 * n - 1)])
+    # 4) gap positions in row order: sort (first?1:0, i); the k-th gap row
+    #    pairs with the k-th leftover (counts match by construction)
+    gkey = jnp.where(first | pad, jnp.uint32(1), jnp.uint32(0))
+    s4 = bitonic_sort_rows(jnp.concatenate(
+        [gkey[:, None], row[:, None]], axis=1))
+    gap_pos = s4[:, 1]                      # valid where s4[:,0]==0
+    is_gap = s4[:, 0] == 0
+
+    # 5) S' assembly as a sort-based merge: candidate rows
+    #    (target position, value) from gap/leftover pairs and from first
+    #    rows; invalid rows keyed to the end; first n rows = S' by position
+    cand_pos = jnp.concatenate(
+        [jnp.where(is_gap, gap_pos, FFW), jnp.where(first, row, FFW)])
+    cand_val = jnp.concatenate([lvals[:n], apw], axis=0)
+    s5 = bitonic_sort_rows(jnp.concatenate(
+        [cand_pos[:, None], cand_val], axis=1))
+    spw = s5[:n, 1:]
+
     zero = jnp.zeros((), jnp.uint32)
-    ap = jnp.where(pad[:, None], zero, ap)
-    sp = jnp.where(pad[:, None], zero, sp)
+    ap = jnp.where(pad[:, None], zero, _unpack_words(apw))
+    sp = jnp.where(pad[:, None], zero, _unpack_words(spw))
     return ap, sp, fail
 
 
@@ -483,19 +638,23 @@ class JaxEngine:
         for s in range(qpd):
             coefs = [pow(alpha_inv, q * s, R) * pow(g_n_inv, s, R)
                      * step_inv % R for q in range(step)]
-            cenc = JFR.encode(coefs)[:, None, :]              # (step, 1, 16)
-            prod = jfield.mont_mul(JFR, U, jnp.broadcast_to(cenc, U.shape))
-            chunks.append(_tree_sum(JFR, prod))
+            chunks.append(_wsum_jit(U, JFR.encode(coefs)))
         return chunks
 
     # lookup permutation
     def permute_lookup(self, ci_dev, ct_dev, usable):
+        """Returns (A', S', fail) with fail a DEVICE bool: the caller
+        batches all lookups' failure flags into one read (each sync costs
+        a tunnel round-trip)."""
         a_plain = JFR.from_mont(ci_dev)
         t_plain = JFR.from_mont(ct_dev)
         ap, sp, fail = _permute_lookup_dev(usable, a_plain, t_plain)
-        if bool(fail):
+        return JFR.to_mont(ap), JFR.to_mont(sp), fail
+
+    @staticmethod
+    def check_lookup_fails(fails):
+        if fails and bool(jnp.any(jnp.stack(fails))):
             raise ValueError("lookup failure: input value not in table")
-        return JFR.to_mont(ap), JFR.to_mont(sp)
 
     # evaluation & commitment
     def _powers(self, x, n):
@@ -535,6 +694,7 @@ class JaxEngine:
             per = max(1, budget // n)
             chunked.extend((x, idxs[j:j + per])
                            for j in range(0, len(idxs), per))
+        results = []   # (group device sums, idxs) — ONE decode at the end
         for x, idxs in chunked:
             polys = [pairs[i][0] for i in idxs]
             n = max(p.shape[0] for p in polys)
@@ -543,31 +703,38 @@ class JaxEngine:
                     [p, jnp.zeros((n - p.shape[0], jfield.NLIMB),
                                   jnp.uint32)], axis=0)
                 for p in polys])                          # (P, n, 16)
-            pows = jnp.broadcast_to(self._powers(x, n), stacked.shape)
-            prod = jfield.mont_mul(JFR, stacked, pows)
-            while prod.shape[1] > 1:
-                half = prod.shape[1] // 2
-                head = jfield.add(JFR, prod[:, :half], prod[:, half:2 * half])
-                prod = head if 2 * half == prod.shape[1] else \
-                    jnp.concatenate([head, prod[:, 2 * half:]], axis=1)
-            vals = JFR.decode(prod[:, 0])
-            for i, v in zip(idxs, vals):
-                out[i] = v
+            results.append((_eval_group_jit(stacked, self._powers(x, n)),
+                            idxs))
+        all_vals = JFR.decode(jnp.concatenate([r[0] for r in results], axis=0))
+        vi = 0
+        for _, idxs in results:
+            for i in idxs:
+                out[i] = all_vals[vi]
+                vi += 1
         return out
 
     def div_linear(self, vec, a):
-        """vec(X) / (X - a) on device: out[i] = a^-(i+1) * suffix_sum(vec_j
-        a^j)[i+1] — one suffix scan + two power-vector muls."""
+        """vec(X) / (X - a): one fused dispatch (power vectors + suffix
+        scan in-graph)."""
         a %= R
-        n = vec.shape[0]
-        P = self._part_pows(a, n)
-        IP = self._part_pows(inv_mod(a, R), n)
-        t = jfield.mont_mul(JFR, vec, P)
-        S = jfield.suffix_sum_mod(JFR, t)
-        Sshift = jnp.concatenate(
-            [S[1:], jnp.zeros((1, jfield.NLIMB), jnp.uint32)], axis=0)
-        out = jfield.mont_mul(JFR, Sshift, IP)
-        return self.scale(out, inv_mod(a, R))
+        return _div_linear_jit(vec, self._enc_scalar(a),
+                               self._enc_scalar(inv_mod(a, R)))
+
+    def weighted_sum(self, vecs, coefs):
+        """sum_i coefs[i] * vecs[i] — the workhorse for every Horner-style
+        fold (y-fold, theta-compress, zeta-combine): weights are absorbed
+        host-side so the device work is chunked independent weighted
+        reductions instead of an RTT-serialized dependency chain."""
+        assert len(vecs) == len(coefs) and vecs
+        parts = []
+        for i in range(0, len(vecs), 64):
+            chunk = vecs[i:i + 64]
+            cenc = JFR.encode([c % R for c in coefs[i:i + 64]])
+            parts.append(_wsum_jit(jnp.stack(chunk), cenc))
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = jfield.add(JFR, acc, p)
+        return acc
 
     # vectors per stacked grand-product pass: bounds peak HBM (the scan's
     # mont_mul intermediates are ~3x the operand size; at k=15 with ~100
@@ -575,22 +742,23 @@ class JaxEngine:
     gp_chunk = 8
 
     def grand_products(self, nums, dens):
-        """Stacked inversion + vmapped scan, in bounded-memory chunks."""
+        """One fused dispatch per bounded-memory chunk (inversion + scans
+        in-graph)."""
         if not nums:
             return []
         out = []
         for i in range(0, len(nums), self.gp_chunk):
             ns, ds = nums[i:i + self.gp_chunk], dens[i:i + self.gp_chunk]
-            count = len(ns)
-            n = ns[0].shape[0]
-            den_inv = jfield.batch_inv_scan(JFR, jnp.concatenate(ds, axis=0))
-            ratios = jfield.mont_mul(JFR, jnp.stack(ns),
-                                     den_inv.reshape(count, n, jfield.NLIMB))
-            del den_inv
-            prefixes = jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
-            del ratios
-            out.extend(prefixes[j] for j in range(count))
+            prefixes = _gp_chunk_jit(jnp.stack(ns), jnp.stack(ds))
+            out.extend(prefixes[j] for j in range(len(ns)))
         return out
+
+    def perm_numden(self, cols, sigmas, omega_pows, beta, gamma, deltas):
+        """One fused dispatch per permutation chunk."""
+        bds = jnp.stack([self._enc_scalar(beta * dl % R) for dl in deltas])
+        return _gp_numden_jit(jnp.stack(cols), jnp.stack(sigmas), omega_pows,
+                              bds, self._enc_scalar(beta),
+                              self._enc_scalar(gamma))
 
     def commit_lagrange_batch(self, vecs):
         return self._commit(self._msm_lagrange, vecs)
@@ -599,17 +767,13 @@ class JaxEngine:
         return self._commit(self._msm_coeff, vecs)
 
     def _commit(self, ctx: MSMContext, vecs):
-        import os, sys, time
-        verbose = os.environ.get("HALO2TPU_VERBOSE") == "1"
-        t0 = time.time()
-        out = []
+        """Batched commitment: every msm_batch-sized chunk folds to device
+        partial sums; the whole phase converts to host points with ONE
+        device read (sync points cost a ~30 ms tunnel round-trip each)."""
         npad = ctx.points.shape[0]
+        parts = []
         for i in range(0, len(vecs), self.msm_batch):
-            if verbose and i:
-                print(f"    msm {i}/{len(vecs)} t={time.time()-t0:.1f}s",
-                      file=sys.stderr, flush=True)
             chunk = list(vecs[i:i + self.msm_batch])
-            real = len(chunk)
             # pad the batch to a fixed size: the MSM step kernels compile
             # per (B, C) shape, so a ragged tail batch would recompile them
             while len(chunk) < self.msm_batch:
@@ -619,8 +783,10 @@ class JaxEngine:
                                               jnp.uint32)], axis=0)
                 if v.shape[0] < npad else v for v in chunk])
             plain = JFR.from_mont(stacked)  # MSM wants plain scalar limbs
-            out.extend(ctx.commit_limbs(plain)[:real])
-        return out
+            parts.append(ctx.partials(plain))
+        if not parts:
+            return []
+        return ctx.finalize(parts)[:len(vecs)]
 
 
 def make_engine(kind: str, domain: Domain, srs):

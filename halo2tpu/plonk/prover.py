@@ -149,37 +149,24 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     tr.count("advice_columns", len(advice_values))
 
     theta = t.squeeze_challenge()
-
-    def eval_expr_lagrange(expr):
-        """Engine-resident expression evaluation over the n-domain (lookup
-        compression)."""
-        return expr.evaluate(
-            constant=lambda c: eng.const_vec(c, n),
-            fixed=lambda q: eng.rotate(st.fixed_lag[q.column_index],
-                                       q.rotation),
-            advice=lambda q: eng.rotate(advice_values[q.column_index],
-                                        q.rotation),
-            instance=lambda q: eng.rotate(instance_values[q.column_index],
-                                          q.rotation),
-            negate=eng.neg,
-            add=eng.add,
-            mul=eng.mul,
-        )
+    lag_vals = {"advice": advice_values, "fixed": st.fixed_lag,
+                "instance": instance_values}
 
     # -- lookups: permuted pairs (engine-resident sort) --------------------
+    from .quotient import compress_exprs
     tr_lookups = tr.phase("lookups_permute")
     tr_lookups.__enter__()
     lookup_state = []
     lookup_perm_vecs = []
+    lookup_fails = []
     for lk in cs.lookups:
-        def compress(exprs):
-            acc = eng.const_vec(0, n)
-            for e in exprs:
-                acc = eng.add(eng.scale(acc, theta), eval_expr_lagrange(e))
-            return acc
-        ci_dev = compress([p[0] for p in lk.pairs])
-        ct_dev = compress([p[1] for p in lk.pairs])
-        a_vec, s_vec = eng.permute_lookup(ci_dev, ct_dev, u)
+        ci_dev = compress_exprs(eng, [p[0] for p in lk.pairs], lag_vals,
+                                theta, n)
+        ct_dev = compress_exprs(eng, [p[1] for p in lk.pairs], lag_vals,
+                                theta, n)
+        a_vec, s_vec, fail = eng.permute_lookup(ci_dev, ct_dev, u)
+        if fail is not None:
+            lookup_fails.append(fail)
         blind_a, blind_s = [], []
         for i in range(u, n):
             blind_a.append(_rng_field(rng))
@@ -191,6 +178,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             "a_vec": a_vec, "s_vec": s_vec,
         })
         lookup_perm_vecs.extend([a_vec, s_vec])
+    eng.check_lookup_fails(lookup_fails)   # one batched device read
     tr_lookups.__exit__(None, None, None)
     with tr.phase("commit_lookup_permuted"):
         for p in eng.commit_lagrange_batch(lookup_perm_vecs):
@@ -221,17 +209,12 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     nums, dens = [], []
     gidx = 0
     for chunk in chunks:
-        num = eng.const_vec(1, n)
-        den = eng.const_vec(1, n)
-        for col in chunk:
-            vals = col_values(col)
-            sig_l = st.sigma_lag[perm_cols.index(col)]
-            delta = deltas[gidx]
-            id_part = eng.scale(st.omega_pows, beta * delta % R)
-            num = eng.mul(num, eng.add_const(eng.add(vals, id_part), gamma))
-            den = eng.mul(den, eng.add_const(
-                eng.add(vals, eng.scale(sig_l, beta)), gamma))
-            gidx += 1
+        num, den = eng.perm_numden(
+            [col_values(col) for col in chunk],
+            [st.sigma_lag[perm_cols.index(col)] for col in chunk],
+            st.omega_pows, beta, gamma,
+            deltas[gidx:gidx + len(chunk)])
+        gidx += len(chunk)
         nums.append(num)
         dens.append(den)
     for lk_s in lookup_state:
@@ -286,6 +269,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     # -- phase 3: quotient (part-wise; plonk/quotient.py) ------------------
     # Lagrange-domain advice is dead from here on: free ~n x cols of HBM.
     advice_values = None
+    lag_vals["advice"] = None
     tr_q = tr.phase("quotient")
     tr_q.__enter__()
     srcs = dict(

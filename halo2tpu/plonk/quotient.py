@@ -77,17 +77,22 @@ def _walk(e, leaves, toks):
         raise TypeError(f"unknown expr node {type(e)}")
 
 
-def _make_fold_fn(expr):
-    """Build jit fn(hv, y, *leaf_arrays) -> hv*y + expr(leaves).  Two exprs
-    with the same structure token produce identical traced graphs, so the
-    fn built from the first instance serves all of them."""
+def _make_val_fn(expr):
+    """Build jit fn(*leaf_arrays) -> expr value.  Two exprs with the same
+    structure token produce identical traced graphs, so the fn built from
+    the first instance serves all of them."""
 
-    def f(hv, y, *args):
+    def f(*args):
         it = iter(args)
+        shape = None
+        for a in args:
+            if a.ndim == 2:
+                shape = a.shape
+                break
 
         def ev(e):
             if isinstance(e, Constant):
-                return jnp.broadcast_to(next(it), hv.shape)
+                return jnp.broadcast_to(next(it), shape)
             if isinstance(e, (AdviceQuery, FixedQuery, InstanceQuery)):
                 a = next(it)
                 r = e.rotation % a.shape[0]
@@ -98,59 +103,54 @@ def _make_fold_fn(expr):
                 return jfield.add(JFR, ev(e.lhs), ev(e.rhs))
             return jfield.mont_mul(JFR, ev(e.lhs), ev(e.rhs))
 
-        v = ev(expr)
-        return jfield.add(
-            JFR, jfield.mont_mul(JFR, hv, jnp.broadcast_to(y, hv.shape)), v)
+        return ev(expr)
 
-    return jax.jit(f, donate_argnums=0)
+    return jax.jit(f)
 
 
-def _fold_fn_for(expr):
+def _val_fn_for(expr):
     leaves: list = []
     toks: list = []
     _walk(expr, leaves, toks)
     key = "".join(toks)
     fn = _FOLD_FNS.get(key)
     if fn is None:
-        fn = _make_fold_fn(expr)
+        fn = _make_val_fn(expr)
         _FOLD_FNS[key] = fn
     return fn, leaves
 
 
-# shared jitted rule kernels -------------------------------------------------
+# shared jitted rule kernels (each returns its expression VALUE; the y-fold
+# happens afterwards as a weighted reduction — a Horner chain of dependent
+# dispatches would serialize at ~30 ms/link on the axon runtime) -----------
 
 def _bc(s, like):
     return jnp.broadcast_to(s, like.shape)
 
 
-@partial(jax.jit, donate_argnums=0)
-def _fold_l0_one_minus_z(hv, y, l0, z):
+@jax.jit
+def _val_l0_one_minus_z(l0, z):
     one = _bc(jnp.asarray(JFR.one_mont), z)
-    v = jfield.mont_mul(JFR, l0, jfield.sub(JFR, one, z))
-    return jfield.add(JFR, jfield.mont_mul(JFR, hv, _bc(y, hv)), v)
+    return jfield.mont_mul(JFR, l0, jfield.sub(JFR, one, z))
 
 
-@partial(jax.jit, donate_argnums=0)
-def _fold_llast_zz(hv, y, l_last, z):
-    v = jfield.mont_mul(JFR, l_last,
-                        jfield.sub(JFR, jfield.mont_mul(JFR, z, z), z))
-    return jfield.add(JFR, jfield.mont_mul(JFR, hv, _bc(y, hv)), v)
+@jax.jit
+def _val_llast_zz(l_last, z):
+    return jfield.mont_mul(JFR, l_last,
+                           jfield.sub(JFR, jfield.mont_mul(JFR, z, z), z))
 
 
-@partial(jax.jit, donate_argnums=0, static_argnums=5)
-def _fold_l0_z_minus_prev(hv, y, l0, z, z_prev, rot):
+@partial(jax.jit, static_argnums=3)
+def _val_l0_z_minus_prev(l0, z, z_prev, rot):
     prev = jnp.roll(z_prev, -(rot % z_prev.shape[0]), axis=0)
-    v = jfield.mont_mul(JFR, l0, jfield.sub(JFR, z, prev))
-    return jfield.add(JFR, jfield.mont_mul(JFR, hv, _bc(y, hv)), v)
+    return jfield.mont_mul(JFR, l0, jfield.sub(JFR, z, prev))
 
 
-@partial(jax.jit, donate_argnums=0)
-def _fold_perm_product(hv, y, z, l_active, cvals, sigmas, bds, beta, gamma,
-                       wq):
-    """Permutation chunk product rule:
+@jax.jit
+def _val_perm_product(z, l_active, cvals, sigmas, bds, beta, gamma, wq):
+    """Permutation chunk product rule value:
       (z(wX) prod(c + beta*sigma + gamma) - z(X) prod(c + beta*delta_j*wq
-       + gamma)) * l_active, folded into hv.
-    cvals/sigmas: (m, n, 16); bds: (m, 16) = beta*delta_j scalars."""
+       + gamma)) * l_active.  cvals/sigmas: (m, n, 16); bds: (m, 16)."""
     z_next = jnp.roll(z, -1, axis=0)
     lhs, rhs = z_next, z
     m = cvals.shape[0]
@@ -162,39 +162,67 @@ def _fold_perm_product(hv, y, z, l_active, cvals, sigmas, bds, beta, gamma,
         t2 = jfield.add(JFR, c, jfield.mont_mul(JFR, wq, _bc(bds[j], c)))
         rhs = jfield.mont_mul(JFR, rhs,
                               jfield.add(JFR, t2, _bc(gamma, c)))
-    v = jfield.mont_mul(JFR, jfield.sub(JFR, lhs, rhs), l_active)
-    return jfield.add(JFR, jfield.mont_mul(JFR, hv, _bc(y, hv)), v)
+    return jfield.mont_mul(JFR, jfield.sub(JFR, lhs, rhs), l_active)
 
 
-@partial(jax.jit, donate_argnums=0)
-def _fold_lookup_rules(hv, y, zc, ac, sc, comp_in, comp_tb, l0, l_last,
-                       l_active, beta, gamma):
-    """The five halo2 lookup-argument expressions, folded in protocol order:
+@jax.jit
+def _val_lookup_rules(zc, ac, sc, comp_in, comp_tb, l0, l_last, l_active,
+                      beta, gamma):
+    """The five halo2 lookup-argument expression values, protocol order:
       l0(1-z); l_last(z^2-z);
       (z(wX)(a'+beta)(s'+gamma) - z(X)(A+beta)(S+gamma)) l_active;
       l0(a'-s'); (a'-s')(a'-a'(w^-1 X)) l_active."""
-    yb = _bc(y, hv)
     one = _bc(jnp.asarray(JFR.one_mont), zc)
     bb, gb = _bc(beta, zc), _bc(gamma, zc)
-    hv = jfield.add(JFR, jfield.mont_mul(JFR, hv, yb),
-                    jfield.mont_mul(JFR, l0, jfield.sub(JFR, one, zc)))
-    hv = jfield.add(JFR, jfield.mont_mul(JFR, hv, yb),
-                    jfield.mont_mul(JFR, l_last,
-                                    jfield.sub(JFR, jfield.mont_mul(JFR, zc, zc), zc)))
+    v1 = jfield.mont_mul(JFR, l0, jfield.sub(JFR, one, zc))
+    v2 = jfield.mont_mul(JFR, l_last,
+                         jfield.sub(JFR, jfield.mont_mul(JFR, zc, zc), zc))
     z_next = jnp.roll(zc, -1, axis=0)
     a_prev = jnp.roll(ac, 1, axis=0)
     lhs = jfield.mont_mul(JFR, z_next, jfield.mont_mul(
         JFR, jfield.add(JFR, ac, bb), jfield.add(JFR, sc, gb)))
     rhs = jfield.mont_mul(JFR, zc, jfield.mont_mul(
         JFR, jfield.add(JFR, comp_in, bb), jfield.add(JFR, comp_tb, gb)))
-    hv = jfield.add(JFR, jfield.mont_mul(JFR, hv, yb),
-                    jfield.mont_mul(JFR, jfield.sub(JFR, lhs, rhs), l_active))
+    v3 = jfield.mont_mul(JFR, jfield.sub(JFR, lhs, rhs), l_active)
     a_minus_s = jfield.sub(JFR, ac, sc)
-    hv = jfield.add(JFR, jfield.mont_mul(JFR, hv, yb),
-                    jfield.mont_mul(JFR, l0, a_minus_s))
-    v = jfield.mont_mul(JFR, jfield.mont_mul(
+    v4 = jfield.mont_mul(JFR, l0, a_minus_s)
+    v5 = jfield.mont_mul(JFR, jfield.mont_mul(
         JFR, a_minus_s, jfield.sub(JFR, ac, a_prev)), l_active)
-    return jfield.add(JFR, jfield.mont_mul(JFR, hv, yb), v)
+    return v1, v2, v3, v4, v5
+
+
+def compress_exprs(eng, exprs, col_vals, theta, n):
+    """theta-compression sum_i theta^(k-1-i) e_i over any column family
+    (prover's n-domain lookup compression reuses the quotient's
+    structure-compiled value fns on the jnp path)."""
+    if eng.jnp_backed:
+        vals = []
+        for e in exprs:
+            fn, leaves = _val_fn_for(e)
+            args = [eng._enc_scalar(v) if kind == "const"
+                    else col_vals[kind][v] for kind, v in leaves]
+            vals.append(fn(*args))
+        if len(vals) == 1:
+            return vals[0]
+        k = len(vals)
+        return eng.weighted_sum(vals, [pow(theta, k - 1 - i, R)
+                                       for i in range(k)])
+    acc = eng.const_vec(0, n)
+    for e in exprs:
+        v = e.evaluate(
+            constant=lambda c: eng.const_vec(c, n),
+            fixed=lambda qu: eng.rotate(col_vals["fixed"][qu.column_index],
+                                        qu.rotation),
+            advice=lambda qu: eng.rotate(col_vals["advice"][qu.column_index],
+                                         qu.rotation),
+            instance=lambda qu: eng.rotate(
+                col_vals["instance"][qu.column_index], qu.rotation),
+            negate=eng.neg,
+            add=eng.add,
+            mul=eng.mul,
+        )
+        acc = eng.add(eng.scale(acc, theta), v)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +256,10 @@ def _perm_layout(cs):
 
 
 def _fold_part_jnp(eng, cs, d, st, srcs, ch, q):
+    """Jnp path: every contribution is evaluated as an INDEPENDENT dispatch
+    (they pipeline), then hv = sum_i y^(N-1-i) v_i runs as chunked weighted
+    reductions — identical value to the verifier's Horner y-fold, without
+    an N-deep dependent-dispatch chain."""
     n = d.n
     b = cs.blinding_factors()
     # part values for every column family, one batched scaled-NTT per family
@@ -244,10 +276,9 @@ def _fold_part_jnp(eng, cs, d, st, srcs, ch, q):
     wq = eng.scale(st.omega_pows, polyops.part_shift(d, q))
 
     col_vals = {"advice": adv, "fixed": fix, "instance": inst}
-    theta_e = eng._enc_scalar(ch["theta"])
+    theta = ch["theta"]
     beta_e = eng._enc_scalar(ch["beta"])
     gamma_e = eng._enc_scalar(ch["gamma"])
-    y_e = eng._enc_scalar(ch["y"])
 
     def leaf_arrays(leaves):
         out = []
@@ -258,48 +289,56 @@ def _fold_part_jnp(eng, cs, d, st, srcs, ch, q):
                 out.append(col_vals[kind][v])
         return out
 
-    hv = jnp.zeros((n, jfield.NLIMB), jnp.uint32)
+    values = []   # protocol fold order (gates, permutation, lookups)
 
-    # gates
     for gate in cs.gates:
         for poly in gate.polys:
-            fn, leaves = _fold_fn_for(poly)
-            hv = fn(hv, y_e, *leaf_arrays(leaves))
+            fn, leaves = _val_fn_for(poly)
+            values.append(fn(*leaf_arrays(leaves)))
 
-    # permutation rules (contract.sol:452-505 order)
     chunks = _perm_layout(cs)
     if chunks:
         perm_cols = cs.permutation_columns
         deltas = [pow(FR_DELTA, j, R) for j in range(len(perm_cols))]
-        hv = _fold_l0_one_minus_z(hv, y_e, l0, zs[0])
-        hv = _fold_llast_zz(hv, y_e, l_last, zs[-1])
+        values.append(_val_l0_one_minus_z(l0, zs[0]))
+        values.append(_val_llast_zz(l_last, zs[-1]))
         for j in range(1, len(chunks)):
-            hv = _fold_l0_z_minus_prev(hv, y_e, l0, zs[j], zs[j - 1],
-                                       (-(b + 1)) % n)
+            values.append(_val_l0_z_minus_prev(l0, zs[j], zs[j - 1],
+                                               (-(b + 1)) % n))
         gidx = 0
         for j, chunk in enumerate(chunks):
             cvals = jnp.stack([col_vals[c.kind][c.index] for c in chunk])
             sigmas = jnp.stack([sig[perm_cols.index(c)] for c in chunk])
             bds = jnp.stack([eng._enc_scalar(ch["beta"] * deltas[gidx + i] % R)
                              for i in range(len(chunk))])
-            hv = _fold_perm_product(hv, y_e, zs[j], l_active, cvals, sigmas,
-                                    bds, beta_e, gamma_e, wq)
+            values.append(_val_perm_product(zs[j], l_active, cvals, sigmas,
+                                            bds, beta_e, gamma_e, wq))
             gidx += len(chunk)
 
-    # lookups
     for lk, (zc, ac, sc) in zip(cs.lookups, lk_parts):
         def compress(exprs):
-            acc = jnp.zeros((n, jfield.NLIMB), jnp.uint32)
+            vals = []
             for e in exprs:
-                fn, leaves = _fold_fn_for(e)
-                acc = fn(acc, theta_e, *leaf_arrays(leaves))
-            return acc
+                fn, leaves = _val_fn_for(e)
+                vals.append(fn(*leaf_arrays(leaves)))
+            k = len(vals)
+            if k == 1:
+                return vals[0]
+            return eng.weighted_sum(vals,
+                                    [pow(theta, k - 1 - i, R)
+                                     for i in range(k)])
 
         comp_in = compress([p[0] for p in lk.pairs])
         comp_tb = compress([p[1] for p in lk.pairs])
-        hv = _fold_lookup_rules(hv, y_e, zc, ac, sc, comp_in, comp_tb,
-                                l0, l_last, l_active, beta_e, gamma_e)
-    return hv
+        values.extend(_val_lookup_rules(zc, ac, sc, comp_in, comp_tb,
+                                        l0, l_last, l_active, beta_e,
+                                        gamma_e))
+
+    if not values:   # constraint-free circuit (reference timestamp quirk)
+        return jnp.zeros((n, jfield.NLIMB), jnp.uint32)
+    N = len(values)
+    y = ch["y"]
+    return eng.weighted_sum(values, [pow(y, N - 1 - i, R) for i in range(N)])
 
 
 def _fold_part_host(eng, cs, d, st, srcs, ch, q):

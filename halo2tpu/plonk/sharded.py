@@ -188,12 +188,11 @@ class ShardedJaxEngine(JaxEngine):
 
     # commitment ---------------------------------------------------------
     def _commit(self, ctx, vecs):
-        out = []
         npad = ctx.points.shape[0]
         fold = min(npad, max(self._ndev, 128))
+        parts = []
         for i in range(0, len(vecs), self.msm_batch):
             chunk = list(vecs[i:i + self.msm_batch])
-            real = len(chunk)
             while len(chunk) < self.msm_batch:
                 chunk.append(jnp.zeros((npad, NLIMB), jnp.uint32))
             stacked = jnp.stack([
@@ -201,7 +200,9 @@ class ShardedJaxEngine(JaxEngine):
                                               jnp.uint32)], axis=0)
                 if v.shape[0] < npad else v for v in chunk])
             plain = JFR.from_mont(stacked)
-            partials = _bit_partials(ctx.points, plain, fold_width=fold,
-                                     shardings=self._msm_shardings)
-            out.extend(_partials_to_affine(partials)[:real])
-        return out
+            parts.append(_bit_partials(ctx.points, plain, fold_width=fold,
+                                       shardings=self._msm_shardings))
+        if not parts:
+            return []
+        stackd = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return _partials_to_affine(stackd)[:len(vecs)]

@@ -92,14 +92,14 @@ def shplonk_open(t: ProofWriter, srs, d: Domain, queries: list[Query],
     sets, poly_coeffs = group_rotation_sets(queries)
     n = d.n
 
-    # per-set combined polys (engine) and interpolations (host, <= 3 points)
+    # per-set combined polys (one weighted reduction per set — a ~250-poly
+    # zeta-Horner chain would serialize dispatch at tunnel RTT) and
+    # interpolations (host, <= 3 points)
     set_data = []
     for s_ in sets:
-        f = eng.const_vec(0, n)
-        zp = 1
-        for pid in s_["polys"]:
-            f = eng.add(f, eng.scale(poly_coeffs[pid], zp))
-            zp = zp * zeta % R
+        polys = [poly_coeffs[pid] for pid in s_["polys"]]
+        zps = [pow(zeta, j, R) for j in range(len(polys))]
+        f = eng.weighted_sum(polys, zps)
         points = [rotate_omega(d, x, rot) for rot in s_["rotations"]]
         set_data.append({"f": f, "points": points})
     values = eng.eval_polys(
