@@ -69,17 +69,20 @@ RSA_BASELINE_S = 14.442124258      # /root/reference/README.md:19
 AADHAAR_TARGET_S = 2.0             # BASELINE.md target row
 
 
-def _bench(fn, *args, warmup=1, iters=3):
-    """Median wall time of fn(*args) with block_until_ready."""
+def _bench(fn, *args, warmup=1, iters=8):
+    """Per-call wall time of fn(*args), measured PIPELINED: issue `iters`
+    dispatches, then one block_until_ready, divide.  On the axon tunnel a
+    single dispatch+sync pays a flat ~29 ms RTT once the process has done
+    any device->host read — per-sync timing would report that constant, not
+    the kernel.  Pipelined timing matches how the prover actually runs
+    (long dispatch chains between rare syncs)."""
     import jax
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_kernels():
@@ -97,6 +100,7 @@ def bench_kernels():
     a = FR.encode([int.from_bytes(rng.bytes(31), "big") % R for v in range(256)])
     a = jnp.tile(a, (n // 256, 1))
     b = jnp.roll(a, 1, axis=0)
+    _ = np.asarray(a[0])   # enter the post-read dispatch regime (see _bench)
     t = _bench(lambda x, y: mont_mul(FR, x, y), a, b)
     # speed of light: 2 reads + 1 write of 64 B per element over HBM
     sol = HBM_GBPS * 1e9 / (3 * ELEM_BYTES)

@@ -131,6 +131,20 @@ class Sha256Chip:
         self._fill = [0] * cfg.num_lanes
         self.rows_used = 0
         self._zero = None
+        # direct array/handle caches: the bitop/decompose runs are the
+        # synthesis hot loop (~100k rows x 8 Assignment method calls each);
+        # every sha lane column has enable_equality (Sha256Config), so
+        # appending copies directly is statically safe (cf. flexgate's
+        # assign_region fast path)
+        self._lane_arrs = [
+            {"u": [asn.advice[c.index] for c in lane["u"]],
+             "q_xor": asn.fixed[lane["q_xor"].index],
+             "q_ch": asn.fixed[lane["q_ch"].index],
+             "q_maj": asn.fixed[lane["q_maj"].index],
+             "q_dec": asn.fixed[lane["q_dec"].index],
+             "q_dec0": asn.fixed[lane["q_dec0"].index]}
+            for lane in cfg.lanes]
+        self._copies = asn.copies
 
     # -- custom-region emitters ----------------------------------------------
     def _lane_rows(self, n: int):
@@ -139,25 +153,36 @@ class Sha256Chip:
         assert start + n <= self.asn.usable, "sha lanes exhausted"
         self._fill[li] = start + n
         self.rows_used += n
-        return self.cfg.lanes[li], start
+        return li, start
+
+    _BITFNS = {"q_xor": lambda x, y, z: x ^ y ^ z,
+               "q_ch": lambda x, y, z: z ^ (x & (y ^ z)),
+               "q_maj": lambda x, y, z: (x & y) | (z & (x | y))}
 
     def _bitop_run(self, qname: str, triples):
         """One row per (x, y, z) input triple; returns output cells."""
-        lane, start = self._lane_rows(len(triples))
-        u = lane["u"]
-        fn = {"q_xor": lambda x, y, z: x ^ y ^ z,
-              "q_ch": lambda x, y, z: z ^ (x & (y ^ z)),
-              "q_maj": lambda x, y, z: (x & y) | (z & (x | y))}[qname]
+        li, start = self._lane_rows(len(triples))
+        lane = self.cfg.lanes[li]
+        arrs = self._lane_arrs[li]
+        u0a, u1a, u2a, u3a = arrs["u"]
+        qa = arrs[qname]
+        u0c, u1c, u2c, u3c = lane["u"]
+        fn = self._BITFNS[qname]
+        append = self._copies.append
         out = []
-        for i, (x, y, z) in enumerate(triples):
-            row = start + i
+        row = start
+        for x, y, z in triples:
             ov = fn(x.value, y.value, z.value)
-            for c, cell in zip(u[:3], (x, y, z)):
-                self.asn.assign_advice(c, row, cell.value)
-                self.asn.copy((cell.col, cell.row), (c, row))
-            self.asn.assign_advice(u[3], row, ov)
-            self.asn.enable_selector(lane[qname], row)
-            out.append(AssignedValue(u[3], row, ov))
+            u0a[row] = x.value
+            u1a[row] = y.value
+            u2a[row] = z.value
+            u3a[row] = ov
+            qa[row] = 1
+            append(((x.col, x.row), (u0c, row)))
+            append(((y.col, y.row), (u1c, row)))
+            append(((z.col, z.row), (u2c, row)))
+            out.append(AssignedValue(u3c, row, ov))
+            row += 1
         return out
 
     def xor3_bits(self, xs, ys, zs):
@@ -176,8 +201,12 @@ class Sha256Chip:
         flex-gate cell with its 32 bits; carry = top (nbits-32) bits."""
         v = cell.value
         assert v < (1 << nbits)
-        lane, start = self._lane_rows(nbits)
+        li, start = self._lane_rows(nbits)
+        lane = self.cfg.lanes[li]
+        arrs = self._lane_arrs[li]
         u = lane["u"]
+        u0a, u3a = arrs["u"][0], arrs["u"][3]
+        qda, qd0a = arrs["q_dec"], arrs["q_dec0"]
         bit_cells = []
         acc = 0
         carry_cell = None
@@ -185,15 +214,14 @@ class Sha256Chip:
             row = start + i
             bit = (v >> (nbits - 1 - i)) & 1
             acc = acc * 2 + bit
-            self.asn.assign_advice(u[0], row, bit)
-            self.asn.assign_advice(u[3], row, acc)
-            self.asn.enable_selector(
-                lane["q_dec0" if i == 0 else "q_dec"], row)
+            u0a[row] = bit
+            u3a[row] = acc
+            (qd0a if i == 0 else qda)[row] = 1
             bit_cells.append(AssignedValue(u[0], row, bit))
             if nbits > 32 and i == nbits - 32 - 1:
                 carry_cell = AssignedValue(u[3], row, acc)
         last = AssignedValue(u[3], start + nbits - 1, acc)
-        self.asn.copy((cell.col, cell.row), (last.col, last.row))
+        self._copies.append(((cell.col, cell.row), (last.col, last.row)))
         bits_lsb = bit_cells[::-1]
         if nbits <= 32:
             return _Word(cell, bits_lsb[:32]), None

@@ -34,12 +34,13 @@ SCALAR_BITS = 254
 LIMB_BITS_SC = 16
 
 # Windowed fixed-base fold (the TPU Pippenger replacement): the SRS bases
-# are fixed across every commitment, so each base precomputes a 16-entry
+# are fixed across every commitment, so each base precomputes a 256-entry
 # table of affine multiples w*P (one-time, device-side) and the fold walks
-# 64 4-bit digit planes instead of 254 bit planes — ~4x fewer Jacobian
-# adds, paid for with a W-way in-VMEM select per lane (~W cheap vector ops
-# vs ~11 field muls per add).
-WINDOW_BITS = 4
+# 32 8-bit digit planes instead of 254 bit planes — ~8x fewer Jacobian
+# adds, paid for with a W-way one-hot MXU select per lane (cheap: the MXU
+# is otherwise idle during the VPU-bound fold).  The table is held as
+# uint16 limbs (half the HBM of f32) and widened to f32 per row step.
+WINDOW_BITS = 8
 TABLE_W = 1 << WINDOW_BITS          # multiples per base, incl. identity
 NUM_WINDOWS = 256 // WINDOW_BITS    # digit planes (top planes of <2^254 are 0)
 
@@ -175,20 +176,47 @@ def _normalize_lm(jac_lm):
 def precompute_window_table(points_lm):
     """points_lm (3, 16, n) affine bases -> (3, 16*TABLE_W, n) table with
     tab[:, 16w:16w+16, i] = affine w*P_i (w = 0 and padded bases: z = 0).
-    One-time per SRS: TABLE_W-2 full pallas adds + one batched inversion."""
-    from .pallas_ec import fold_add_any, identity_lm
+
+    One-time per SRS.  Built in log2(W) doubling rounds instead of W-2
+    sequential adds: with multiples 1..m known, evens 2..2m come from ONE
+    batched doubling and odds 3..2m+1 from ONE batched mixed add of P —
+    ~16 wide dispatches total (the 254-step add chain serialized on the
+    axon runtime's per-dispatch latency).  Jacobian->affine normalization
+    runs in lane-bounded batch-inversion chunks at the end."""
+    from .pallas_ec import fold_add_any, fold_dbl_any, identity_lm
     n = points_lm.shape[-1]
-    jacs = [points_lm]
-    cur = points_lm
-    for _ in range(2, TABLE_W):
-        # fold_add_any donates arg 0; cur is kept in jacs (and is initially
-        # points_lm itself), so hand it a fresh buffer each step
-        cur = fold_add_any(jnp.copy(cur), points_lm)
-        jacs.append(cur)
-    aff = _normalize_lm(jnp.concatenate(jacs, axis=-1))
-    slots = [identity_lm(n)] + [
-        jax.lax.dynamic_slice_in_dim(aff, w * n, n, axis=2)
-        for w in range(TABLE_W - 1)]
+    mults = {1: points_lm}           # Jacobian multiples
+    have = 1
+    def _cat(arrs):
+        # the fold wrappers donate their first argument, so a single-element
+        # "concat" (which JAX may alias) must be copied
+        return jnp.copy(arrs[0]) if len(arrs) == 1 else \
+            jnp.concatenate(arrs, axis=-1)
+
+    while have < TABLE_W - 1:
+        evens = fold_dbl_any(_cat([mults[k] for k in range(1, have + 1)]))
+        for i in range(have):
+            mults[2 * (i + 1)] = jax.lax.dynamic_slice_in_dim(
+                evens, i * n, n, axis=2)
+        odd_top = min(2 * have + 1, TABLE_W - 1)
+        odd_ws = [w for w in range(3, odd_top + 1, 2) if w not in mults]
+        if odd_ws:
+            odds = fold_add_any(_cat([mults[w - 1] for w in odd_ws]),
+                                _cat([points_lm] * len(odd_ws)))
+            for i, w in enumerate(odd_ws):
+                mults[w] = jax.lax.dynamic_slice_in_dim(
+                    odds, i * n, n, axis=2)
+        have = odd_top
+    # normalize all Jacobian multiples to affine in bounded chunks
+    slots = [identity_lm(n)]
+    ws = list(range(1, TABLE_W))
+    chunk = max(1, (1 << 22) // n)
+    for i in range(0, len(ws), chunk):
+        grp = ws[i:i + chunk]
+        aff = _normalize_lm(jnp.concatenate([mults[w] for w in grp], axis=-1)
+                            if len(grp) > 1 else mults[grp[0]])
+        for j in range(len(grp)):
+            slots.append(jax.lax.dynamic_slice_in_dim(aff, j * n, n, axis=2))
     return jnp.concatenate(slots, axis=1)
 
 
@@ -216,8 +244,9 @@ def _partials_fused(table_f, scalar_limbs, C):
         issue, so a 32-step python-driven fold chain costs ~1 s of pure
         latency.  Chains inside one compiled program are free.
 
-    table_f: (3, W, 16, n) float32 multiples; scalar_limbs (B, n, 16)
-    plain limbs.  Returns (B, NUM_WINDOWS, 3, 16) per-digit-plane sums."""
+    table_f: (3, W, 16, n) uint16 multiples (widened to f32 per row step);
+    scalar_limbs (B, n, 16) plain limbs.
+    Returns (B, NUM_WINDOWS, 3, 16) per-digit-plane sums."""
     from .pallas_ec import (TILE, fold_add_any, fold_mixed, from_limb_major,
                             identity_lm)
     n = table_f.shape[-1]
@@ -234,11 +263,20 @@ def _partials_fused(table_f, scalar_limbs, C):
         tab_c = jax.lax.dynamic_slice_in_dim(table_f, r * C, C, axis=3)
         sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
         digs = _window_digits(sc).reshape(G, C)
-        oh = (digs[:, None, :] == wrange[None, :, None]).astype(jnp.float32)
-        sel = jnp.einsum("cwlk,gwk->clgk", tab_c, oh,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        sel = sel.astype(jnp.uint32).reshape(3, NLIMB, L)
+        oh = (digs[:, None, :] == wrange[None, :, None]).astype(jnp.bfloat16)
+        # the select runs as TWO bf16 MXU einsums over the table's 8-bit
+        # halves: all operands are bf16-EXACT (entries <= 255, one-hot 0/1,
+        # exactly one nonzero term per f32 accumulation), unlike a single
+        # f32 pass over 16-bit limbs which needs a multi-pass HIGHEST
+        # decomposition and a 2x-fatter one-hot tensor
+        tlo = (tab_c & jnp.uint16(0xFF)).astype(jnp.bfloat16)
+        thi = (tab_c >> 8).astype(jnp.bfloat16)
+        slo = jnp.einsum("cwlk,gwk->clgk", tlo, oh,
+                         preferred_element_type=jnp.float32)
+        shi = jnp.einsum("cwlk,gwk->clgk", thi, oh,
+                         preferred_element_type=jnp.float32)
+        sel = (slo.astype(jnp.uint32)
+               | (shi.astype(jnp.uint32) << 8)).reshape(3, NLIMB, L)
         if lpad:
             sel = jnp.pad(sel, ((0, 0), (0, 0), (0, lpad)))
         # digit 0 / padded bases select identity entries (z = 0) -> inert
@@ -396,7 +434,8 @@ def _partials_to_affine(partials) -> list:
 class MSMContext:
     """Caches device-resident SRS bases (padded to a power of two) and,
     on the pallas path, their windowed multiple table (lazily built,
-    stored (3, W, 16, n) float32 for the exact one-hot select)."""
+    stored (3, W, 16, n) uint16 — limbs are 16-bit, and f32 storage would
+    double the dominant HBM resident of the prover)."""
 
     def __init__(self, points: list):
         n = len(points)
@@ -414,7 +453,7 @@ class MSMContext:
             npad = tab.shape[-1]
             self._table = jax.jit(
                 lambda t: t.reshape(3, TABLE_W, NLIMB, npad)
-                .astype(jnp.float32))(tab)
+                .astype(jnp.uint16))(tab)
         return self._table
 
     def partials(self, plain_limbs):

@@ -31,6 +31,10 @@ from .pallas_field import (
     eq_lm,
     is_zero_lm,
     mont_mul_lm,
+    mont_sqr_lm,
+    mx_args,
+    mx_ctx,
+    mx_specs,
     select_lm,
     sub_lm,
 )
@@ -50,24 +54,31 @@ def _mm(a, b):
     return mont_mul_lm(KQ, a, b)
 
 
-def _padd_mixed_lm(acc3, pts3, valid):
+def _sq(a):
+    return mont_sqr_lm(KQ, a)
+
+
+def _padd_mixed_core(acc3, pts3, valid):
     """Mixed add acc += (x2, y2) where valid (T,) masks real vs identity
-    contributions.  acc3/pts3: (3, 16, T).  madd-2007-bl, as jpoint.py:128,
-    plus the equal/inverse-point lanes (acc == ±point -> doubling/identity):
-    equal-digit collisions are routine when an MSM carries duplicate bases,
-    and silently emitting Z3 = 0 there corrupts the whole fold."""
+    contributions.  acc3/pts3: (3, 16, T).  madd-2007-bl, as jpoint.py:128.
+    Returns (out, need_dbl): `out` handles the generic/inverse/identity
+    lanes; `need_dbl` (T,) flags acc == point lanes whose doubling the
+    CALLER must patch in.  The doubling path is hoisted out so kernels can
+    gate its ~7 extra field muls behind a tile-level pl.when — equal-point
+    collisions never occur in real MSM folds over distinct SRS bases, but
+    silently emitting Z3 = 0 there would corrupt the whole fold."""
     X1, Y1, Z1 = acc3[0], acc3[1], acc3[2]
     x2, y2 = pts3[0], pts3[1]
-    Z1Z1 = _mm(Z1, Z1)
+    Z1Z1 = _sq(Z1)
     t0 = _mm(y2, Z1)
     U2 = _mm(x2, Z1Z1)
     S2 = _mm(t0, Z1Z1)
     H = sub_lm(KQ, U2, X1)
     r = dbl_lm(KQ, sub_lm(KQ, S2, Y1))
     ZH = add_lm(KQ, Z1, H)
-    HH = _mm(H, H)
-    rr = _mm(r, r)
-    zh2 = _mm(ZH, ZH)
+    HH = _sq(H)
+    rr = _sq(r)
+    zh2 = _sq(ZH)
     i = dbl_lm(KQ, dbl_lm(KQ, HH))
     J = _mm(H, i)
     V = _mm(X1, i)
@@ -81,30 +92,37 @@ def _padd_mixed_lm(acc3, pts3, valid):
     t = Z1.shape[-1]
     same_x = is_zero_lm(H)
     same_y = is_zero_lm(sub_lm(KQ, S2, Y1))
-    dblv = _pdbl_lm(acc3)
     inf = jnp.stack([const_vec(KQ.one_mont, t), const_vec(KQ.one_mont, t),
                      jnp.zeros((16, t), jnp.uint32)])
     out = gen
-    out = jnp.where((same_x & same_y)[None, None, :], dblv, out)
     out = jnp.where((same_x & ~same_y)[None, None, :], inf, out)
     p_inf = is_zero_lm(Z1)
     q_jac = jnp.stack([x2, y2, const_vec(KQ.one_mont, t)])
     out = jnp.where(p_inf[None, None, :], q_jac, out)
-    return jnp.where(valid[None, None, :], out, acc3)
+    out = jnp.where(valid[None, None, :], out, acc3)
+    need_dbl = same_x & same_y & ~p_inf & valid
+    return out, need_dbl
+
+
+def _padd_mixed_lm(acc3, pts3, valid):
+    """Mixed add with the doubling lanes resolved inline (jit/parity path;
+    kernels use _padd_mixed_core + pl.when instead)."""
+    out, need_dbl = _padd_mixed_core(acc3, pts3, valid)
+    return jnp.where(need_dbl[None, None, :], _pdbl_lm(acc3), out)
 
 
 def _pdbl_lm(p3):
     """Jacobian doubling, identity-safe (jpoint.py:73)."""
     x, y, z = p3[0], p3[1], p3[2]
-    a = _mm(x, x)
-    b = _mm(y, y)
+    a = _sq(x)
+    b = _sq(y)
     z3 = _mm(dbl_lm(KQ, y), z)
     xb = add_lm(KQ, x, b)
-    c = _mm(b, b)
-    xb2 = _mm(xb, xb)
+    c = _sq(b)
+    xb2 = _sq(xb)
     d = dbl_lm(KQ, sub_lm(KQ, xb2, add_lm(KQ, a, c)))
     e = add_lm(KQ, dbl_lm(KQ, a), a)
-    f = _mm(e, e)
+    f = _sq(e)
     x3 = sub_lm(KQ, f, dbl_lm(KQ, d))
     c8 = dbl_lm(KQ, dbl_lm(KQ, dbl_lm(KQ, c)))
     edx = _mm(e, sub_lm(KQ, d, x3))
@@ -112,12 +130,14 @@ def _pdbl_lm(p3):
     return jnp.stack([x3, y3, z3])
 
 
-def _padd_lm(p3, q3):
-    """Full Jacobian add with identity/double/inverse masks (jpoint.py:92)."""
+def _padd_core(p3, q3):
+    """Full Jacobian add (jpoint.py:92) with identity/inverse masks.
+    Returns (out, need_dbl); doubling lanes patched by the caller (see
+    _padd_mixed_core)."""
     x1, y1, z1 = p3[0], p3[1], p3[2]
     x2, y2, z2 = q3[0], q3[1], q3[2]
-    z1z1 = _mm(z1, z1)
-    z2z2 = _mm(z2, z2)
+    z1z1 = _sq(z1)
+    z2z2 = _sq(z2)
     u1 = _mm(x1, z2z2)
     u2 = _mm(x2, z1z1)
     t1 = _mm(y1, z2)
@@ -128,9 +148,9 @@ def _padd_lm(p3, q3):
     hh = dbl_lm(KQ, h)
     zz = add_lm(KQ, z1, z2)
     rr = dbl_lm(KQ, sub_lm(KQ, s2, s1))
-    i = _mm(hh, hh)
-    zzsq = _mm(zz, zz)
-    r2 = _mm(rr, rr)
+    i = _sq(hh)
+    zzsq = _sq(zz)
+    r2 = _sq(rr)
     j = _mm(h, i)
     v = _mm(u1, i)
     x3 = sub_lm(KQ, sub_lm(KQ, r2, j), dbl_lm(KQ, v))
@@ -144,29 +164,50 @@ def _padd_lm(p3, q3):
     q_inf = is_zero_lm(z2)
     same_x = eq_lm(u1, u2)
     same_y = eq_lm(s1, s2)
-    dblv = _pdbl_lm(p3)
     t = gen.shape[-1]
     inf = jnp.stack([const_vec(_ID3[0], t), const_vec(_ID3[1], t),
                      jnp.zeros((16, t), jnp.uint32)])
 
     out = gen
-    out = jnp.where((same_x & same_y)[None, None, :], dblv, out)
     out = jnp.where((same_x & ~same_y)[None, None, :], inf, out)
     out = jnp.where(q_inf[None, None, :], p3, out)
     out = jnp.where(p_inf[None, None, :], q3, out)
-    return out
+    need_dbl = same_x & same_y & ~p_inf & ~q_inf
+    return out, need_dbl
+
+
+def _padd_lm(p3, q3):
+    """Full Jacobian add with doubling lanes resolved inline."""
+    out, need_dbl = _padd_core(p3, q3)
+    return jnp.where(need_dbl[None, None, :], _pdbl_lm(p3), out)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 
-def _mixed_kernel(acc_ref, pts_ref, bits_ref, out_ref):
-    valid = (bits_ref[0] != 0) & ~is_zero_lm(pts_ref[2])
-    out_ref[:] = _padd_mixed_lm(acc_ref[:], pts_ref[:], valid)
+def _mixed_kernel(acc_ref, pts_ref, bits_ref, mpinv_ref, mp_ref, out_ref):
+    with mx_ctx(KQ, mpinv_ref[...], mp_ref[...]):
+        acc = acc_ref[:]
+        valid = (bits_ref[0] != 0) & ~is_zero_lm(pts_ref[2])
+        out, need_dbl = _padd_mixed_core(acc, pts_ref[:], valid)
+        out_ref[:] = out
+
+        @pl.when(jnp.any(need_dbl))
+        def _patch_doubling():   # never taken for distinct-base MSM folds
+            out_ref[:] = jnp.where(need_dbl[None, None, :], _pdbl_lm(acc),
+                                   out_ref[:])
 
 
-def _add_kernel(p_ref, q_ref, out_ref):
-    out_ref[:] = _padd_lm(p_ref[:], q_ref[:])
+def _add_kernel(p_ref, q_ref, mpinv_ref, mp_ref, out_ref):
+    with mx_ctx(KQ, mpinv_ref[...], mp_ref[...]):
+        p = p_ref[:]
+        out, need_dbl = _padd_core(p, q_ref[:])
+        out_ref[:] = out
+
+        @pl.when(jnp.any(need_dbl))
+        def _patch_doubling():   # taken only in table-build / degenerate
+            out_ref[:] = jnp.where(need_dbl[None, None, :], _pdbl_lm(p),
+                                   out_ref[:])
 
 
 def _use_interpret() -> bool:
@@ -188,11 +229,11 @@ def fold_mixed(acc, pts, bits):
     return pl.pallas_call(
         _mixed_kernel,
         grid=grid,
-        in_specs=[spec3, spec3, bspec],
+        in_specs=[spec3, spec3, bspec] + mx_specs(),
         out_specs=spec3,
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.uint32),
         interpret=_use_interpret(),
-    )(acc, pts, bits)
+    )(acc, pts, bits, *mx_args(KQ))
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -206,23 +247,32 @@ def fold_add(p, q):
     return pl.pallas_call(
         _add_kernel,
         grid=grid,
-        in_specs=[spec3, spec3],
+        in_specs=[spec3, spec3] + mx_specs(),
         out_specs=spec3,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.uint32),
         interpret=_use_interpret(),
-    )(p, q)
+    )(p, q, *mx_args(KQ))
 
 
-def _mixed_tiled_kernel(rep: int, acc_ref, pts_ref, bits_ref, out_ref):
+def _mixed_tiled_kernel(rep: int, acc_ref, pts_ref, bits_ref, mpinv_ref,
+                        mp_ref, out_ref):
     """Like _mixed_kernel but pts_ref holds only C points shared by every
     (bit-plane, batch) lane group: the MSM row fold adds the same C base
     points into 254*B accumulator groups, so the block is replicated
     in-kernel instead of materializing a (3, 16, L) broadcast in HBM."""
-    pts = pts_ref[:]
-    if rep > 1:
-        pts = jnp.concatenate([pts] * rep, axis=-1)
-    valid = (bits_ref[0] != 0) & ~is_zero_lm(pts[2])
-    out_ref[:] = _padd_mixed_lm(acc_ref[:], pts, valid)
+    with mx_ctx(KQ, mpinv_ref[...], mp_ref[...]):
+        pts = pts_ref[:]
+        if rep > 1:
+            pts = jnp.concatenate([pts] * rep, axis=-1)
+        acc = acc_ref[:]
+        valid = (bits_ref[0] != 0) & ~is_zero_lm(pts[2])
+        out, need_dbl = _padd_mixed_core(acc, pts, valid)
+        out_ref[:] = out
+
+        @pl.when(jnp.any(need_dbl))
+        def _patch_doubling():
+            out_ref[:] = jnp.where(need_dbl[None, None, :], _pdbl_lm(acc),
+                                   out_ref[:])
 
 
 def _pick_tile(L: int, c: int | None = None) -> int:
@@ -253,11 +303,11 @@ def _fold_mixed_tiled(acc, pts_c, bits, tile):
     return pl.pallas_call(
         partial(_mixed_tiled_kernel, rep),
         grid=grid,
-        in_specs=[spec_acc, spec_pts, bspec],
+        in_specs=[spec_acc, spec_pts, bspec] + mx_specs(),
         out_specs=spec_acc,
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.uint32),
         interpret=_use_interpret(),
-    )(acc, pts_c, bits)
+    )(acc, pts_c, bits, *mx_args(KQ))
 
 
 def fold_mixed_tiled(acc, pts_c, bits):
@@ -281,11 +331,11 @@ def _fold_add_tile(p, q, tile):
     return pl.pallas_call(
         _add_kernel,
         grid=grid,
-        in_specs=[spec3, spec3],
+        in_specs=[spec3, spec3] + mx_specs(),
         out_specs=spec3,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.uint32),
         interpret=_use_interpret(),
-    )(p, q)
+    )(p, q, *mx_args(KQ))
 
 
 def fold_add_any(p, q):
@@ -299,6 +349,36 @@ def fold_add_any(p, q):
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad)))
     out = _fold_add_tile(p, q, tile)
     return out[:, :, :L]
+
+
+def _dbl_kernel(p_ref, mpinv_ref, mp_ref, out_ref):
+    with mx_ctx(KQ, mpinv_ref[...], mp_ref[...]):
+        out_ref[:] = _pdbl_lm(p_ref[:])
+
+
+@partial(jax.jit, static_argnums=1)
+def _fold_dbl_tile(p, tile):
+    L = p.shape[-1]
+    grid = (L // tile,)
+    spec3 = pl.BlockSpec((3, 16, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _dbl_kernel,
+        grid=grid,
+        in_specs=[spec3] + mx_specs(),
+        out_specs=spec3,
+        out_shape=jax.ShapeDtypeStruct(p.shape, jnp.uint32),
+        interpret=_use_interpret(),
+    )(p, *mx_args(KQ))
+
+
+def fold_dbl_any(p):
+    """Batched Jacobian doubling over (3, 16, L), any lane count."""
+    L = p.shape[-1]
+    tile = _pick_tile(L)
+    if L % tile:
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, tile - L % tile)))
+    return _fold_dbl_tile(p, tile)[:, :, :L]
 
 
 def identity_lm(L: int):

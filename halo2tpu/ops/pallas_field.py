@@ -15,6 +15,7 @@ column sums < 2^21, like jfield (same CIOS/SOS scheme, different layout).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 NLIMB = 16
@@ -29,14 +30,44 @@ class LimbConstants:
     def __init__(self, p: int):
         self.p = p
         self.p_limbs = self._limbs(p)
-        self.p_inv_full = self._limbs((-pow(p, -1, 1 << 256)) % (1 << 256))
+        p_inv = (-pow(p, -1, 1 << 256)) % (1 << 256)
+        self.p_inv_full = self._limbs(p_inv)
         r = (1 << 256) % p
         self.one_mont = self._limbs(r)
+        # MXU constant-convolution matrices (see _conv_const_mx): output
+        # rows ordered [all lo8 cols | all hi8 cols] so the 16-bit
+        # recombine slices contiguously.
+        self.mx_pinv = self._conv8_matrix(p_inv, 16)     # (32, 32) f32
+        self.mx_p = self._conv8_matrix(p, 32)            # (64, 32) f32
 
     @staticmethod
     def _limbs(v: int) -> np.ndarray:
         return np.array([(v >> (LIMB_BITS * i)) & MASK for i in range(NLIMB)],
                         dtype=np.uint32)
+
+    @staticmethod
+    def _conv8_matrix(v: int, out16: int) -> np.ndarray:
+        """Matrix M with M @ x8cat = 8-bit column sums of x * v, where
+        x8cat = [x & 0xFF ; x >> 8] stacks the lo/hi 8-bit halves of x's 16
+        16-bit limbs.  Row r < out16 is the lo8 of 16-bit output column r;
+        row out16 + r is its hi8 (so out16 columns = M[:out16] + 256 *
+        M[out16:] after the matmul).  Entries are v's 8-bit limbs (<= 255,
+        exact in bf16); per-row sums of 32 products of 8-bit values stay
+        < 2^21, so a bf16 x bf16 -> f32 MXU matmul computes them exactly."""
+        v8 = [(v >> (8 * c)) & 0xFF for c in range(2 * NLIMB)]
+        M = np.zeros((2 * out16, 2 * NLIMB), np.float32)
+        for ic in range(2 * NLIMB):
+            # input row ic: lo8 of limb ic (8-bit pos 2*ic) for ic < 16,
+            # hi8 of limb ic-16 (8-bit pos 2*(ic-16)+1) otherwise
+            c1 = 2 * ic if ic < NLIMB else 2 * (ic - NLIMB) + 1
+            for oc in range(2 * out16):
+                # output row oc: 8-bit pos 2*oc (lo half) for oc < out16,
+                # 2*(oc-out16)+1 (hi half) otherwise
+                pos = 2 * oc if oc < out16 else 2 * (oc - out16) + 1
+                d = pos - c1
+                if 0 <= d < 2 * NLIMB:
+                    M[oc, ic] = v8[d]
+        return M
 
 
 def _conv(a, b, out_cols: int):
@@ -86,6 +117,63 @@ def const_vec(limbs, t: int):
     return jnp.stack([jnp.full((t,), int(l), jnp.uint32) for l in limbs])
 
 
+import os as _os
+from contextlib import contextmanager
+
+
+def _use_mxu() -> bool:
+    """Constant-convolutions ride the MXU by default (exact: see
+    _conv8_matrix); HALO2TPU_NO_MXU=1 falls back to the VPU formulation."""
+    return _os.environ.get("HALO2TPU_NO_MXU") != "1"
+
+
+# Pallas kernels may not capture array constants, so the MXU matrices enter
+# each kernel as inputs; mx_ctx hands the traced refs' values down to
+# _mont_reduce without threading them through every field-formula signature.
+# Outside a ctx the VPU scalar-literal path is used (always kernel-safe).
+_MX_STACK: dict[int, list] = {}
+
+
+@contextmanager
+def mx_ctx(kc: "LimbConstants", mpinv, mp):
+    """Make (mpinv, mp) — in-kernel values of kc.mx_pinv / kc.mx_p — the
+    active MXU operands for kc's modulus within the managed trace."""
+    _MX_STACK.setdefault(kc.p, []).append((mpinv, mp))
+    try:
+        yield
+    finally:
+        _MX_STACK[kc.p].pop()
+
+
+def mx_args(kc: "LimbConstants"):
+    """The two f32 operands a pallas_call must pass for mx_ctx(kc, ...)."""
+    return (jnp.asarray(kc.mx_pinv, jnp.float32),
+            jnp.asarray(kc.mx_p, jnp.float32))
+
+
+def _mx_operands(kc: "LimbConstants"):
+    lst = _MX_STACK.get(kc.p)
+    return lst[-1] if (lst and _use_mxu()) else None
+
+
+def _conv_const_mx(x16, M, out16: int):
+    """x16 (16, T) EXACT 16-bit limbs times a constant, via one MXU matmul:
+    returns (out16, T) uint32 lazy 16-bit column sums (< 2^30).  M is a
+    (2*out16, 32) f32 _conv8_matrix for the constant.  Operands are 8-bit
+    values held in f32 (bf16-exact), so the f32 HIGHEST matmul — a bf16
+    multi-pass on the MXU — has zero low-part terms and every f32 partial
+    sum is an integer < 2^24: bit-exact.  (u32 -> bf16 casts are not
+    lowerable in Mosaic, hence f32 carriers via int32.)"""
+    xcat = jnp.concatenate([x16 & jnp.uint32(0xFF), x16 >> 8], axis=0)
+    xf = xcat.astype(jnp.int32).astype(jnp.float32)
+    mm = jax.lax.dot_general(
+        M, xf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    mm = mm.astype(jnp.int32).astype(jnp.uint32)
+    return mm[:out16] + (mm[out16:] << 8)
+
+
 def _carry(cols, n_out: int):
     """Sequential carry propagation over the first n_out columns.
     Returns ((n_out, T) exact limbs, carry-out (T,))."""
@@ -114,13 +202,24 @@ def _cond_sub_p(kc: LimbConstants, limbs16, top):
     return jnp.where(ge_p[None, :], sub, limbs16)
 
 
-def mont_mul_lm(kc: LimbConstants, a, b):
-    """Montgomery product a*b*R^-1 mod p.  a, b: (16, T) -> (16, T)."""
-    T33 = _conv(a, b, 33)
+def _mont_reduce(kc: LimbConstants, T33):
+    """SOS Montgomery reduction of lazy column sums T33 (33, T) -> canonical
+    (16, T).  The two constant convolutions (x p^-1 mod 2^256, x p) run as
+    exact bf16 MXU matmuls (_conv8_matrix invariant) — they are ~60% of the
+    VPU row-ops of the scalar-literal formulation."""
     tl, _ = _carry(T33, NLIMB)
-    m_lazy = _conv_const(tl, kc.p_inv_full, NLIMB)
-    m, _ = _carry(m_lazy, NLIMB)
-    Z = T33 + _conv_const(m, kc.p_limbs, 33)
+    ops = _mx_operands(kc)
+    if ops is not None:
+        mx_pinv, mx_p = ops
+        m_lazy = _conv_const_mx(tl, mx_pinv, NLIMB)
+        m, _ = _carry(m_lazy, NLIMB)
+        mp = _conv_const_mx(m, mx_p, 2 * NLIMB)            # (32, T) < 2^30
+        Z = T33 + jnp.concatenate(
+            [mp, jnp.zeros((1,) + mp.shape[1:], jnp.uint32)], axis=0)
+    else:
+        m_lazy = _conv_const(tl, kc.p_inv_full, NLIMB)
+        m, _ = _carry(m_lazy, NLIMB)
+        Z = T33 + _conv_const(m, kc.p_limbs, 33)
     _, z_carry = _carry(Z, NLIMB)          # low half vanishes; keep carry
     carry = z_carry
     rows = []
@@ -130,6 +229,35 @@ def mont_mul_lm(kc: LimbConstants, a, b):
         carry = cur >> LIMB_BITS
     # 17 limbs total; value < 2p < 2^257 so rows[16] is the 0/1 top limb
     return _cond_sub_p(kc, jnp.stack(rows[:NLIMB]), rows[NLIMB])
+
+
+def mont_mul_lm(kc: LimbConstants, a, b):
+    """Montgomery product a*b*R^-1 mod p.  a, b: (16, T) -> (16, T)."""
+    return _mont_reduce(kc, _conv(a, b, 33))
+
+
+def mont_sqr_lm(kc: LimbConstants, a):
+    """Montgomery square: the 16x16 product triangle is symmetric, so only
+    the 136 upper products are computed (diag + doubled cross terms) —
+    ~45% fewer VPU multiplies than mont_mul_lm's full convolution."""
+    t = a.shape[-1]
+    acc = jnp.zeros((33, t), jnp.uint32)
+    for i in range(NLIMB):
+        # cross terms j > i (doubled) plus the diagonal j == i
+        cols = NLIMB - i
+        prod = a[i][None, :] * a[i:]                 # (cols, T), exact u32
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        if cols > 1:
+            # double the cross part (rows 1..), keep diagonal (row 0) single
+            dbl_mask = jnp.concatenate(
+                [jnp.zeros((1, t), jnp.uint32),
+                 jnp.ones((cols - 1, t), jnp.uint32)])
+            lo = lo << dbl_mask
+            hi = hi << dbl_mask
+        acc = acc + jnp.pad(lo, ((2 * i, 33 - 2 * i - cols), (0, 0)))
+        acc = acc + jnp.pad(hi, ((2 * i + 1, 32 - 2 * i - cols), (0, 0)))
+    return _mont_reduce(kc, acc)
 
 
 def add_lm(kc: LimbConstants, a, b):
@@ -203,9 +331,16 @@ _FLAT_TILE = 2048
 
 
 def _mm_kernel_for(kc: LimbConstants):
-    def kern(a_ref, b_ref, o_ref):
-        o_ref[...] = mont_mul_lm(kc, a_ref[...], b_ref[...])
+    def kern(a_ref, b_ref, mpinv_ref, mp_ref, o_ref):
+        with mx_ctx(kc, mpinv_ref[...], mp_ref[...]):
+            o_ref[...] = mont_mul_lm(kc, a_ref[...], b_ref[...])
     return kern
+
+
+def mx_specs():
+    """BlockSpecs for the two mx_args operands (whole-matrix blocks)."""
+    return [pl.BlockSpec((2 * NLIMB, 2 * NLIMB), lambda *_: (0, 0)),
+            pl.BlockSpec((4 * NLIMB, 2 * NLIMB), lambda *_: (0, 0))]
 
 
 @_partial(jax.jit, static_argnums=0)
@@ -217,11 +352,11 @@ def _mont_mul_lane_tiled(kc: LimbConstants, at, bt):
     return pl.pallas_call(
         _mm_kernel_for(kc),
         grid=(L // tile,),
-        in_specs=[spec, spec],
+        in_specs=[spec, spec] + mx_specs(),
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((NLIMB, L), jnp.uint32),
         interpret=_use_interpret(),
-    )(at, bt)
+    )(at, bt, *mx_args(kc))
 
 
 def mont_mul_flat(kc: LimbConstants, a, b):

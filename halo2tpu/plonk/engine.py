@@ -21,7 +21,7 @@ and a handful of scalars.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -119,6 +119,16 @@ class HostEngine:
         head %= R
         z = [head] + [head * p % R for p in pref[:-1]]
         return self.set_rows(z, blind_start, blind_ints)
+
+    def assemble_z_batch(self, prefs, heads, blind_start, blind_lists):
+        """Batched assemble_z over aligned lists (one engine dispatch on
+        the jnp path)."""
+        return [self.assemble_z(p, h, blind_start, b)
+                for p, h, b in zip(prefs, heads, blind_lists)]
+
+    def set_rows_batch(self, vecs, start, ints_lists):
+        return [self.set_rows(v, start, ints)
+                for v, ints in zip(vecs, ints_lists)]
 
     # transforms
     def lagrange_to_coeff(self, vec):
@@ -223,6 +233,27 @@ class HostEngine:
         return [self.prefix_prod(self.mul(n_, self.batch_inv(d_)))
                 for n_, d_ in zip(nums, dens)]
 
+    def perm_numden_chunks(self, chunk_cols, chunk_sigmas, omega_pows,
+                           beta, gamma, chunk_deltas):
+        """All permutation chunks' grand-product numerators/denominators
+        (one fused dispatch on the jnp path)."""
+        nums, dens = [], []
+        for cols, sigs, dls in zip(chunk_cols, chunk_sigmas, chunk_deltas):
+            n_, d_ = self.perm_numden(cols, sigs, omega_pows, beta, gamma,
+                                      dls)
+            nums.append(n_)
+            dens.append(d_)
+        return nums, dens
+
+    def lookup_numden(self, comp_ins, comp_tbs, a_vecs, s_vecs, beta, gamma):
+        """Per-lookup grand-product numerators (A+beta)(S+gamma) and
+        denominators (a'+beta)(s'+gamma), batched."""
+        nums = [self.mul(self.add_const(ci, beta), self.add_const(ct, gamma))
+                for ci, ct in zip(comp_ins, comp_tbs)]
+        dens = [self.mul(self.add_const(a, beta), self.add_const(s, gamma))
+                for a, s in zip(a_vecs, s_vecs)]
+        return nums, dens
+
     def commit_lagrange_batch(self, vecs):
         return [self.srs.commit_lagrange(v) for v in vecs]
 
@@ -303,6 +334,59 @@ def _gp_chunk_jit(nums, dens):
     ratios = jfield.mont_mul(JFR, nums,
                              den_inv.reshape(m, n, jfield.NLIMB))
     return jax.vmap(lambda v: jfield._prefix_prod(JFR, v))(ratios)
+
+
+@partial(jax.jit, static_argnums=2)
+def _assemble_z_batch_jit(prefs, heads, start, blinds):
+    """prefs (m, n, 16); heads (m, 16) Montgomery; blinds (m, b, 16).
+    z[j] = [head_j, head_j * pref_j[:-1]] with blind rows patched — ONE
+    dispatch for every grand-product chunk."""
+    hb = jnp.broadcast_to(heads[:, None, :], prefs.shape)
+    scaled = jfield.mont_mul(JFR, prefs, hb)
+    z = jnp.concatenate([heads[:, None, :], scaled[:, :-1]], axis=1)
+    return jax.lax.dynamic_update_slice(z, blinds, (0, start, 0))
+
+
+@partial(jax.jit, static_argnums=1)
+def _set_rows_batch_jit(vecs, start, patches):
+    return jax.lax.dynamic_update_slice(vecs, patches, (0, start, 0))
+
+
+@jax.jit
+def _gp_numden_all_jit(cols, sigmas, omega_pows, bds, beta, gamma):
+    """Every permutation chunk's numerator/denominator in one dispatch.
+    cols/sigmas (K, m, n, 16); bds (K, m, 16).  Chunks shorter than m are
+    padded with zero col/sigma/bd lanes: both factors then equal gamma, so
+    the num/den RATIO — all grand_products consumes — is unchanged."""
+    K, m = cols.shape[0], cols.shape[1]
+    shape = (K,) + cols.shape[2:]
+    num = jnp.broadcast_to(jnp.asarray(JFR.one_mont), shape)
+    den = jnp.broadcast_to(jnp.asarray(JFR.one_mont), shape)
+    gb = jnp.broadcast_to(gamma, shape)
+    bb = jnp.broadcast_to(beta, shape)
+    wb = jnp.broadcast_to(omega_pows[None], shape)
+    for j in range(m):
+        idp = jfield.mont_mul(JFR, wb,
+                              jnp.broadcast_to(bds[:, j, None, :], shape))
+        num = jfield.mont_mul(JFR, num, jfield.add(
+            JFR, jfield.add(JFR, cols[:, j], idp), gb))
+        sg = jfield.mont_mul(JFR, sigmas[:, j], bb)
+        den = jfield.mont_mul(JFR, den, jfield.add(
+            JFR, jfield.add(JFR, cols[:, j], sg), gb))
+    return num, den
+
+
+@jax.jit
+def _lookup_numden_jit(cis, cts, avs, svs, beta, gamma):
+    """(L, n, 16) stacks -> per-lookup product numerators/denominators,
+    one dispatch."""
+    bb = jnp.broadcast_to(beta, cis.shape)
+    gb = jnp.broadcast_to(gamma, cis.shape)
+    nums = jfield.mont_mul(JFR, jfield.add(JFR, cis, bb),
+                           jfield.add(JFR, cts, gb))
+    dens = jfield.mont_mul(JFR, jfield.add(JFR, avs, bb),
+                           jfield.add(JFR, svs, gb))
+    return nums, dens
 
 
 @jax.jit
@@ -548,6 +632,25 @@ class JaxEngine:
             [self.const_vec(head, 1), scaled[:-1]], axis=0)
         return self.set_rows(z, blind_start, blind_ints)
 
+    def assemble_z_batch(self, prefs, heads, blind_start, blind_lists):
+        if not prefs:
+            return []
+        heads_e = JFR.encode([h % R for h in heads])
+        blinds = JFR.encode([v % R for b in blind_lists for v in b]).reshape(
+            len(prefs), -1, jfield.NLIMB)
+        zs = _assemble_z_batch_jit(jnp.stack(prefs), heads_e, blind_start,
+                                   blinds)
+        return [zs[i] for i in range(len(prefs))]
+
+    def set_rows_batch(self, vecs, start, ints_lists):
+        if not vecs:
+            return []
+        patches = JFR.encode(
+            [v % R for ints in ints_lists for v in ints]).reshape(
+            len(vecs), -1, jfield.NLIMB)
+        out = _set_rows_batch_jit(jnp.stack(vecs), start, patches)
+        return [out[i] for i in range(len(vecs))]
+
     # transforms
     def lagrange_to_coeff(self, vec):
         return jntt.intt(self._plan, vec)
@@ -760,11 +863,72 @@ class JaxEngine:
                               bds, self._enc_scalar(beta),
                               self._enc_scalar(gamma))
 
+    # chunks per fused numden pass: bounds the (K, m, n, 16) operand
+    # transients (~100 MB at K=16, m=4, k=15)
+    numden_chunk = 16
+
+    def perm_numden_chunks(self, chunk_cols, chunk_sigmas, omega_pows,
+                           beta, gamma, chunk_deltas):
+        """ALL permutation chunks' num/den in ceil(K/16) dispatches instead
+        of one per chunk (dependent dispatches cost ~30 ms tunnel latency
+        each).  Short chunks are padded with zero col/sigma/bd lanes — see
+        _gp_numden_all_jit for why that preserves the ratio."""
+        if not chunk_cols:
+            return [], []
+        n = chunk_cols[0][0].shape[0]
+        m = max(len(c) for c in chunk_cols)
+        zero_vec = jnp.zeros((n, jfield.NLIMB), jnp.uint32)
+        zero_s = jnp.zeros((jfield.NLIMB,), jnp.uint32)
+        be, ge = self._enc_scalar(beta), self._enc_scalar(gamma)
+        nums, dens = [], []
+        for i in range(0, len(chunk_cols), self.numden_chunk):
+            cc = chunk_cols[i:i + self.numden_chunk]
+            cs = chunk_sigmas[i:i + self.numden_chunk]
+            cd = chunk_deltas[i:i + self.numden_chunk]
+            cols = jnp.stack([jnp.stack(list(c) + [zero_vec] * (m - len(c)))
+                              for c in cc])
+            sigs = jnp.stack([jnp.stack(list(s) + [zero_vec] * (m - len(s)))
+                              for s in cs])
+            bds = jnp.stack([jnp.stack(
+                [self._enc_scalar(beta * dl % R) for dl in d]
+                + [zero_s] * (m - len(d))) for d in cd])
+            num, den = _gp_numden_all_jit(cols, sigs, omega_pows, bds, be, ge)
+            nums.extend(num[j] for j in range(len(cc)))
+            dens.extend(den[j] for j in range(len(cc)))
+        return nums, dens
+
+    def lookup_numden(self, comp_ins, comp_tbs, a_vecs, s_vecs, beta, gamma):
+        if not comp_ins:
+            return [], []
+        nums, dens = _lookup_numden_jit(
+            jnp.stack(comp_ins), jnp.stack(comp_tbs), jnp.stack(a_vecs),
+            jnp.stack(s_vecs), self._enc_scalar(beta),
+            self._enc_scalar(gamma))
+        return ([nums[i] for i in range(len(comp_ins))],
+                [dens[i] for i in range(len(comp_ins))])
+
     def commit_lagrange_batch(self, vecs):
+        if self._host_commit():
+            return [self.srs.commit_lagrange(self.to_ints(v)) for v in vecs]
         return self._commit(self._msm_lagrange, vecs)
 
     def commit_batch(self, vecs):
+        if self._host_commit():
+            return [self.srs.commit(self.to_ints(v)) for v in vecs]
         return self._commit(self._msm_coeff, vecs)
+
+    @staticmethod
+    def _host_commit() -> bool:
+        """On the XLA:CPU backend, commit host-side: compiling the traced
+        EC-fold programs takes tens of minutes of XLA:CPU optimization
+        passes per shape, and commitment points are exact EC points —
+        engine-independent, so proof bytes are unchanged.  The device fold
+        paths keep their own dedicated parity tests (test_jax_kernels,
+        test_pallas_ec) and run for real on TPU.  Override with
+        HALO2TPU_DEVICE_MSM_ON_CPU=1."""
+        import os
+        return (jax.default_backend() == "cpu"
+                and os.environ.get("HALO2TPU_DEVICE_MSM_ON_CPU") != "1")
 
     def _commit(self, ctx: MSMContext, vecs):
         """Batched commitment: every msm_batch-sized chunk folds to device

@@ -182,17 +182,55 @@ def load_proving_key(path: str) -> ProvingKey:
         return pickle.load(f)
 
 
+def cs_structure_digest(circuit: Circuit) -> str:
+    """Cheap deterministic digest of a circuit's CONSTRAINT STRUCTURE
+    (columns, gate expression trees incl. constants, lookups, permutation
+    columns).  Guards keygen_cached against serving a stale pk after the
+    circuit definition changes — the pickle has no other tie to the code
+    that produced it."""
+    cs = ConstraintSystem()
+    circuit.configure(cs)
+    toks: list[str] = []
+
+    def walk(e):
+        e.evaluate(
+            constant=lambda c: toks.append(f"c{c};"),
+            fixed=lambda q: toks.append(f"f{q.column_index}r{q.rotation};"),
+            advice=lambda q: toks.append(f"a{q.column_index}r{q.rotation};"),
+            instance=lambda q: toks.append(f"i{q.column_index}r{q.rotation};"),
+            negate=lambda _: toks.append("n"),
+            add=lambda *_: toks.append("s"),
+            mul=lambda *_: toks.append("p"),
+        )
+
+    toks.append(f"cols{cs.num_advice},{cs.num_fixed},{cs.num_instance};")
+    for g in cs.gates:
+        for poly in g.polys:
+            walk(poly)
+        toks.append("|")
+    for lk in cs.lookups:
+        for a, b in lk.pairs:
+            walk(a)
+            walk(b)
+        toks.append("L")
+    for col in cs.permutation_columns:
+        toks.append(f"{col.kind}{col.index},")
+    return keccak256("".join(toks).encode()).hex()[:16]
+
+
 def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
                   engine=None, cache_dir: str | None = None, tracer=None):
     """keygen with on-disk pk/vk persistence, keyed by caller-supplied
-    cache_key (circuit family + parameters)."""
+    cache_key (circuit family + parameters) AND a digest of the circuit's
+    constraint structure, so code changes can never serve a stale pk."""
     import os
     cache_dir = cache_dir or os.path.join(
         os.path.dirname(__file__), "..", "..", ".cache")
     os.makedirs(cache_dir, exist_ok=True)
     # v2: packed-uint16 Lagrange-only pk format (old pk_ pickles are
     # incompatible and intentionally not loaded)
-    path = os.path.join(cache_dir, f"pk2_{cache_key}_k{k}.pkl")
+    digest = cs_structure_digest(circuit)
+    path = os.path.join(cache_dir, f"pk2_{cache_key}_{digest}_k{k}.pkl")
     if os.path.exists(path):
         pk = load_proving_key(path)
         return pk, pk.vk

@@ -157,8 +157,9 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     tr_lookups = tr.phase("lookups_permute")
     tr_lookups.__enter__()
     lookup_state = []
-    lookup_perm_vecs = []
     lookup_fails = []
+    raw_pairs = []      # (a_vec, s_vec) pre-blinding
+    blind_lists = []    # aligned [blind_a, blind_s] per lookup
     for lk in cs.lookups:
         ci_dev = compress_exprs(eng, [p[0] for p in lk.pairs], lag_vals,
                                 theta, n)
@@ -171,13 +172,18 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         for i in range(u, n):
             blind_a.append(_rng_field(rng))
             blind_s.append(_rng_field(rng))
-        a_vec = eng.set_rows(a_vec, u, blind_a)
-        s_vec = eng.set_rows(s_vec, u, blind_s)
+        raw_pairs.append((a_vec, s_vec))
+        blind_lists.extend([blind_a, blind_s])
         lookup_state.append({
             "comp_input_dev": ci_dev, "comp_table_dev": ct_dev,
-            "a_vec": a_vec, "s_vec": s_vec,
         })
-        lookup_perm_vecs.extend([a_vec, s_vec])
+    # one dispatch patches every lookup's blinding rows
+    patched = eng.set_rows_batch(
+        [v for pair in raw_pairs for v in pair], u, blind_lists)
+    lookup_perm_vecs = patched
+    for i, lk_s in enumerate(lookup_state):
+        lk_s["a_vec"] = patched[2 * i]
+        lk_s["s_vec"] = patched[2 * i + 1]
     eng.check_lookup_fails(lookup_fails)   # one batched device read
     tr_lookups.__exit__(None, None, None)
     with tr.phase("commit_lookup_permuted"):
@@ -206,47 +212,46 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     # (single stacked inversion + vmapped prefix scan on the JaxEngine).
     tr_gp = tr.phase("grand_products")
     tr_gp.__enter__()
-    nums, dens = [], []
     gidx = 0
+    chunk_cols, chunk_sigmas, chunk_deltas = [], [], []
     for chunk in chunks:
-        num, den = eng.perm_numden(
-            [col_values(col) for col in chunk],
-            [st.sigma_lag[perm_cols.index(col)] for col in chunk],
-            st.omega_pows, beta, gamma,
-            deltas[gidx:gidx + len(chunk)])
+        chunk_cols.append([col_values(col) for col in chunk])
+        chunk_sigmas.append([st.sigma_lag[perm_cols.index(col)]
+                             for col in chunk])
+        chunk_deltas.append(deltas[gidx:gidx + len(chunk)])
         gidx += len(chunk)
-        nums.append(num)
-        dens.append(den)
-    for lk_s in lookup_state:
-        nums.append(eng.mul(eng.add_const(lk_s["comp_input_dev"], beta),
-                            eng.add_const(lk_s["comp_table_dev"], gamma)))
-        dens.append(eng.mul(eng.add_const(lk_s["a_vec"], beta),
-                            eng.add_const(lk_s["s_vec"], gamma)))
-    prefixes = eng.grand_products(nums, dens)
-    nums.clear()
-    dens.clear()
+    nums, dens = eng.perm_numden_chunks(chunk_cols, chunk_sigmas,
+                                        st.omega_pows, beta, gamma,
+                                        chunk_deltas)
+    lk_nums, lk_dens = eng.lookup_numden(
+        [lk_s["comp_input_dev"] for lk_s in lookup_state],
+        [lk_s["comp_table_dev"] for lk_s in lookup_state],
+        [lk_s["a_vec"] for lk_s in lookup_state],
+        [lk_s["s_vec"] for lk_s in lookup_state], beta, gamma)
+    prefixes = eng.grand_products(nums + lk_nums, dens + lk_dens)
+    del nums, dens, lk_nums, lk_dens
     for lk_s in lookup_state:   # compressed vectors are re-derived on the
         lk_s["comp_input_dev"] = lk_s["comp_table_dev"] = None  # part later
 
-    # z chunk assembly: one 16-byte device read per chunk (prefix[u-1]),
-    # vectors never leave the engine
+    # z chunk assembly: ONE 16-byte-per-chunk device read (prefix[u-1]),
+    # then every z vector — permutation chunks and lookups — assembled in
+    # one batched dispatch; vectors never leave the engine
     perm_prefixes = prefixes[:len(chunks)]
     tails = eng.read_rows(perm_prefixes, u - 1) if chunks else []
-    z_values = []
+    heads, blinds = [], []
     last_z = 1
-    for pref, tail in zip(perm_prefixes, tails):
-        blind = [_rng_field(rng) for _ in range(b)]
-        z_values.append(eng.assemble_z(pref, last_z, n - b, blind))
+    for tail in tails:
+        blinds.append([_rng_field(rng) for _ in range(b)])
+        heads.append(last_z)
         last_z = last_z * tail % R
+    for _ in lookup_state:
+        blinds.append([_rng_field(rng) for _ in range(b)])
+        heads.append(1)
+    all_z = eng.assemble_z_batch(prefixes, heads, n - b, blinds)
+    z_values = all_z[:len(chunks)]
+    lookup_z_vecs = all_z[len(chunks):]
     tr_gp.__exit__(None, None, None)
     z_polys = eng.lagrange_to_coeff_stack(z_values)
-
-    # lookup product polys: z[i+1] = z[i] * (A+beta)(S+gamma)/((a'+beta)(s'+gamma))
-    lookup_z_vecs = []
-    for lk_s, pref in zip(lookup_state, prefixes[len(chunks):]):
-        blind = [_rng_field(rng) for _ in range(b)]
-        zv = eng.assemble_z(pref, 1, n - b, blind)
-        lookup_z_vecs.append(zv)
     lookup_poly_stack = eng.lagrange_to_coeff_stack(
         lookup_z_vecs + [lk_s["a_vec"] for lk_s in lookup_state]
         + [lk_s["s_vec"] for lk_s in lookup_state])

@@ -187,6 +187,12 @@ class ShardedJaxEngine(JaxEngine):
         return [self.coeff_to_part(v, q) for v in vecs]
 
     # commitment ---------------------------------------------------------
+    @staticmethod
+    def _host_commit() -> bool:
+        # the sharded engine's CPU-mesh tests exist precisely to exercise
+        # the GSPMD-partitioned device fold; never take the host shortcut
+        return False
+
     def _commit(self, ctx, vecs):
         npad = ctx.points.shape[0]
         fold = min(npad, max(self._ndev, 128))
