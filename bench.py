@@ -69,6 +69,12 @@ RSA_BASELINE_S = 14.442124258      # /root/reference/README.md:19
 AADHAAR_TARGET_S = 2.0             # BASELINE.md target row
 
 
+def _fixed_key():
+    from halo2tpu.utils.rsa_native import load_fixed_key
+    return load_fixed_key(os.path.join(os.path.dirname(__file__),
+                                       "tests/golden/rsa_key_2048.json"))
+
+
 def _bench(fn, *args, warmup=1, iters=8):
     """Per-call wall time of fn(*args), measured PIPELINED: issue `iters`
     dispatches, then one block_until_ready, divide.  On the axon tunnel a
@@ -215,7 +221,7 @@ def bench_rsa_proof():
 
     k = 15
     msg = bytes(range(256)) * 4      # 1024 B = reference MSG_LEN (lib.rs:264)
-    key, n, e = generate_key(2048)
+    key, n, e = _fixed_key()         # pinned: bench runs are reproducible
     sig = sign_pkcs1v15_sha256(key, msg)
     c = RSASha256Circuit(msg, n, sig)
 
@@ -271,7 +277,7 @@ def bench_composite_proof():
     with open(os.path.join(os.path.dirname(__file__),
                            "tests/golden/qr_msg.json")) as f:
         qr = bytes(_json.load(f)["msg"])
-    key, n, e = generate_key(2048)
+    key, n, e = _fixed_key()         # pinned: bench runs are reproducible
     sig = sign_pkcs1v15_sha256(key, qr[:700])
     p = AadhaarParams(signed_len=700)
     w = AadhaarWitness(qr, n, sig, nullifier_seed=12345678,
@@ -295,8 +301,13 @@ def bench_composite_proof():
     proof = create_proof(pk, srs, c, c.instances(), rng_seed=6,
                          engine=eng, tracer=tr)
     t = time.perf_counter() - t0
-    assert verify_proof(vk, srs, c.instances(), proof), \
-        "composite proof failed local verification"
+    if not verify_proof(vk, srs, c.instances(), proof):
+        # post-mortem artifact: the fixed key + rng seed make this exactly
+        # reproducible — dump the bytes so a failure can be bisected
+        with open(".cache/failed_composite_proof.bin", "wb") as f:
+            f.write(proof)
+        raise AssertionError("composite proof failed local verification "
+                             "(proof dumped to .cache/)")
     RESULTS["aadhaar_composite_proof"] = {
         "k": k, "qr_bytes": len(qr), "keygen_s": round(kg, 2),
         "cold_prove_s": round(cold, 3), "prove_s": round(t, 3),

@@ -17,6 +17,24 @@ def generate_key(bits: int = 2048, e: int = 65537):
     return key, n, e
 
 
+def load_fixed_key(path: str):
+    """Load the pinned test key (tests/golden/rsa_key_2048.json) so bench
+    and regression runs are bit-reproducible across invocations.  Returns
+    (private_key_object, n, e)."""
+    import json
+    d = json.load(open(path))
+    p, q, e = d["p"], d["q"], d["e"]
+    n = p * q
+    dmp = pow(e, -1, p - 1)
+    dmq = pow(e, -1, q - 1)
+    iqmp = pow(q, -1, p)
+    dd = pow(e, -1, (p - 1) * (q - 1))
+    key = rsa.RSAPrivateNumbers(
+        p=p, q=q, d=dd, dmp1=dmp, dmq1=dmq, iqmp=iqmp,
+        public_numbers=rsa.RSAPublicNumbers(e=e, n=n)).private_key()
+    return key, n, e
+
+
 def sign_pkcs1v15_sha256(key, msg: bytes) -> int:
     sig = key.sign(msg, padding.PKCS1v15(), hashes.SHA256())
     return int.from_bytes(sig, "big")
