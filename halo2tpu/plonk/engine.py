@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..fields.bn254 import R, batch_inv as host_batch_inv, inv_mod
+from ..fields.bn254 import R, FR_DELTA, batch_inv as host_batch_inv, inv_mod
 from ..fields import jfield
 from ..fields.jfield import FR as JFR, NLIMB
 from ..ops import ntt as jntt
@@ -245,6 +245,13 @@ class HostEngine:
             dens.append(d_)
         return nums, dens
 
+    def sigma_from_mapping(self, mapping):
+        """(ncols, n, 2) cell mapping -> engine sigma label columns
+        (delta^j' * omega^i' per cell; see keygen.sigma_labels_host)."""
+        from .keygen import sigma_labels_host
+        return self.from_ints_stack(
+            sigma_labels_host(np.asarray(mapping), mapping.shape[1]))
+
     def lookup_numden(self, comp_ins, comp_tbs, a_vecs, s_vecs, beta, gamma):
         """Per-lookup grand-product numerators (A+beta)(S+gamma) and
         denominators (a'+beta)(s'+gamma), batched."""
@@ -374,6 +381,15 @@ def _gp_numden_all_jit(cols, sigmas, omega_pows, bds, beta, gamma):
         den = jfield.mont_mul(JFR, den, jfield.add(
             JFR, jfield.add(JFR, cols[:, j], sg), gb))
     return num, den
+
+
+@jax.jit
+def _sigma_labels_jit(dpows, opows, mj):
+    """(ncols', n, 2) int32 mapping chunk -> (ncols', n, 16) Montgomery
+    sigma labels delta^j' * omega^i', via two gathers + one mont_mul."""
+    d = jnp.take(dpows, mj[..., 0], axis=0)
+    o = jnp.take(opows, mj[..., 1], axis=0)
+    return jfield.mont_mul(JFR, d, o)
 
 
 @jax.jit
@@ -906,6 +922,27 @@ class JaxEngine:
             self._enc_scalar(gamma))
         return ([nums[i] for i in range(len(comp_ins))],
                 [dens[i] for i in range(len(comp_ins))])
+
+    def sigma_from_mapping(self, mapping):
+        """Device sigma materialization: chunked gathers from the
+        delta-power / omega-power tables + one mont_mul — replaces ~ncols*n
+        host big-int products (the wide-circuit keygen bottleneck)."""
+        mapping = np.asarray(mapping)
+        ncols, n = mapping.shape[0], mapping.shape[1]
+        deltas = [1] * max(ncols, 1)
+        for j in range(1, ncols):
+            deltas[j] = deltas[j - 1] * FR_DELTA % R
+        dpows = JFR.encode(deltas)
+        omega_pows = [1] * n
+        for i in range(1, n):
+            omega_pows[i] = omega_pows[i - 1] * self.d.omega % R
+        opows = JFR.encode(omega_pows)
+        out = []
+        for i in range(0, ncols, self.stack_chunk):
+            mj = jnp.asarray(mapping[i:i + self.stack_chunk])
+            labels = _sigma_labels_jit(dpows, opows, mj)
+            out.extend(labels[j] for j in range(mj.shape[0]))
+        return out
 
     def commit_lagrange_batch(self, vecs):
         if self._host_commit():

@@ -40,27 +40,29 @@ class VerifyingKey:
 
 @dataclass
 class ProvingKey:
-    """Proving key.  Column data is stored ONLY in the n-domain Lagrange
-    basis as packed (n, 16) uint16 plain-limb arrays: coefficient forms are
-    recomputed on-engine at first use (prover._PkState) — keygen never
-    reads polynomial data back from the device (the TPU tunnel's
-    device->host path is ~7 MB/s; round-2's keygen spent minutes there)."""
+    """Proving key.  Fixed columns are stored in the n-domain Lagrange
+    basis as packed (n, 16) uint16 plain-limb arrays; the permutation is
+    stored as its COMPACT cell mapping (ncols, n, 2) int32 — sigma label
+    columns (delta^j' * omega^i' per cell) are materialized on-engine at
+    first use (engine.sigma_from_mapping), because computing ~ncols*n
+    arbitrary-precision products on the host dominated wide-circuit keygen.
+    Keygen never reads polynomial data back from the device (the TPU
+    tunnel's device->host path is ~7 MB/s)."""
     vk: VerifyingKey
     fixed_values: list[np.ndarray]   # lagrange, (n, 16) uint16 plain limbs
-    sigma_values: list[np.ndarray]   # lagrange, (n, 16) uint16 plain limbs
+    perm_mapping: np.ndarray         # (ncols, n, 2) int32 cell mapping
     config: object                   # circuit config (column handles)
 
 
-def build_permutation_sigmas(cs: ConstraintSystem, n: int,
-                             copies) -> list[list[int]]:
-    """Construct sigma column values. Each cell (c, i) carries the label
-    delta^c * omega^i; copies merge cycles via the classic swap trick, and
-    sigma_c[i] = label of the cell that (c,i) maps to."""
+def build_permutation_mapping(cs: ConstraintSystem, n: int,
+                              copies) -> np.ndarray:
+    """(ncols, n, 2) int32: cell (j, i) maps to (j', i').  Starts as the
+    identity; each copy constraint merges cycles via the classic swap
+    trick (sequential by construction — transpositions don't commute)."""
     cols = cs.permutation_columns
     ncols = len(cols)
     col_pos = {c: j for j, c in enumerate(cols)}
-    # mapping[(j, i)] -> (j', i'), start = identity
-    mapping = np.empty((ncols, n, 2), dtype=np.int64)
+    mapping = np.empty((ncols, n, 2), dtype=np.int32)
     for j in range(ncols):
         mapping[j, :, 0] = j
         mapping[j, :, 1] = np.arange(n)
@@ -69,26 +71,26 @@ def build_permutation_sigmas(cs: ConstraintSystem, n: int,
         tmp = mapping[ja, ra].copy()
         mapping[ja, ra] = mapping[jb, rb]
         mapping[jb, rb] = tmp
+    return mapping
 
-    from .domain import make_domain  # local import to avoid cycle confusion
-    # labels
-    omega_pows = [1] * n
+
+def sigma_labels_host(mapping: np.ndarray, n: int) -> list[list[int]]:
+    """Host (python-int) sigma label columns from a cell mapping — the
+    golden path for the HostEngine and small circuits."""
     from ..fields.bn254 import fr_root_of_unity
+    ncols = mapping.shape[0]
     omega = fr_root_of_unity(n.bit_length() - 1)
+    omega_pows = [1] * n
     for i in range(1, n):
         omega_pows[i] = omega_pows[i - 1] * omega % R
     deltas = [1] * ncols
     for j in range(1, ncols):
         deltas[j] = deltas[j - 1] * FR_DELTA % R
-
     sigmas = []
     for j in range(ncols):
-        col = [0] * n
         mj = mapping[j]
-        for i in range(n):
-            jj, ii = int(mj[i, 0]), int(mj[i, 1])
-            col[i] = deltas[jj] * omega_pows[ii] % R
-        sigmas.append(col)
+        sigmas.append([deltas[int(mj[i, 0])] * omega_pows[int(mj[i, 1])] % R
+                       for i in range(n)])
     return sigmas
 
 
@@ -118,18 +120,18 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
         from ..fields.jfield import ints_to_limbs16
         fixed_values = [ints_to_limbs16([int(v) % FR_R for v in col])
                         for col in asn.fixed]
-        sigma_values = [ints_to_limbs16(col) for col in
-                        build_permutation_sigmas(cs, n, asn.copies)]
+        perm_mapping = build_permutation_mapping(cs, n, asn.copies)
 
     if engine is None:
         fixed_commitments = [
             srs.commit_lagrange(_unpack_ints(col)) for col in fixed_values]
         sigma_commitments = [
-            srs.commit_lagrange(_unpack_ints(col)) for col in sigma_values]
+            srs.commit_lagrange(col)
+            for col in sigma_labels_host(perm_mapping, n)]
     else:
         with tr.phase("kg_encode"):
             fixed_dev = engine.from_packed_stack(fixed_values)
-            sigma_dev = engine.from_packed_stack(sigma_values)
+            sigma_dev = engine.sigma_from_mapping(perm_mapping)
         with tr.phase("kg_commit"):
             fixed_commitments = engine.commit_lagrange_batch(fixed_dev)
             sigma_commitments = engine.commit_lagrange_batch(sigma_dev)
@@ -161,7 +163,7 @@ def keygen(circuit: Circuit, k: int, srs: SRS, engine=None, tracer=None):
     pk = ProvingKey(
         vk=vk,
         fixed_values=fixed_values,
-        sigma_values=sigma_values,
+        perm_mapping=perm_mapping,
         config=config,
     )
     return pk, vk
@@ -227,10 +229,10 @@ def keygen_cached(circuit: Circuit, k: int, srs: SRS, cache_key: str,
     cache_dir = cache_dir or os.path.join(
         os.path.dirname(__file__), "..", "..", ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    # v2: packed-uint16 Lagrange-only pk format (old pk_ pickles are
-    # incompatible and intentionally not loaded)
+    # v3: packed-uint16 fixed columns + compact permutation mapping (older
+    # pk_/pk2_ pickles are incompatible and intentionally not loaded)
     digest = cs_structure_digest(circuit)
-    path = os.path.join(cache_dir, f"pk2_{cache_key}_{digest}_k{k}.pkl")
+    path = os.path.join(cache_dir, f"pk3_{cache_key}_{digest}_k{k}.pkl")
     if os.path.exists(path):
         pk = load_proving_key(path)
         return pk, pk.vk

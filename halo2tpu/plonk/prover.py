@@ -53,7 +53,7 @@ class _PkState:
         step = d.extended_n // n
         b = pk.vk.cs.blinding_factors()
         self.fixed_lag = eng.from_packed_stack(pk.fixed_values)
-        self.sigma_lag = eng.from_packed_stack(pk.sigma_values)
+        self.sigma_lag = eng.sigma_from_mapping(pk.perm_mapping)
         self.fixed_polys = eng.lagrange_to_coeff_stack(self.fixed_lag)
         self.sigma_polys = eng.lagrange_to_coeff_stack(self.sigma_lag)
 

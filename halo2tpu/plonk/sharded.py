@@ -186,6 +186,14 @@ class ShardedJaxEngine(JaxEngine):
     def coeff_to_part_stack(self, vecs, q):
         return [self.coeff_to_part(v, q) for v in vecs]
 
+    def sigma_from_mapping(self, mapping):
+        """Host labels + the engine's (sharding) from_ints_stack: keeps
+        every pk vector row-sharded like the rest of the pipeline."""
+        from .keygen import sigma_labels_host
+        import numpy as _np
+        m = _np.asarray(mapping)
+        return self.from_ints_stack(sigma_labels_host(m, m.shape[1]))
+
     # commitment ---------------------------------------------------------
     @staticmethod
     def _host_commit() -> bool:
