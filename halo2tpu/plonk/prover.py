@@ -353,6 +353,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
             z_polys=z_polys, random_poly=random_poly, h_chunks=h_chunks,
             h_folded=h_folded, queries=queries, engine=eng,
             theta=theta, beta=beta, gamma=gamma, y=y, x=x,
+            lookup_perm_vecs=lookup_perm_vecs,
         ))
     with tr.phase("shplonk"):
         shplonk_open(t, srs, d, queries, x, eng)
