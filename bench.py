@@ -375,6 +375,7 @@ def main():
     RESULTS["backend"] = jax.default_backend()
     RESULTS["device"] = str(jax.devices()[0])
     _log(f"backend={RESULTS['backend']} level={level} budget={_BUDGET_S:.0f}s")
+    _emit()   # a parseable line exists from second zero, whatever happens
 
     # Ordered by value-per-second: headline RSA number lands before the
     # optional sections so a harness kill cannot erase it.
