@@ -13,8 +13,15 @@ real-prover proof latency.  vs_baseline = reference CPU time (14.442 s,
 i.e. >1 means faster than the reference point.
 
 Levels (env BENCH_LEVEL): "fast" = kernels + Square proof only;
-"full" (default) = + RSA-SHA256 k=15 real proof; "all" = + composite
-Aadhaar proof + scaling sweep.
+"full" (default) = + composite Aadhaar proof + RSA-SHA256 k=15 real proof
++ MSM kernel + soak + scaling sweep; "all" = + nothing extra (kept for
+compatibility).
+
+Honesty metrics: `host_compare` times the SAME real prover pipeline on the
+HostEngine (python-int golden path) at the same k for the Square and
+Nullifier circuits — real-prover vs real-prover, complementing the
+rsa `ref_mock_s` north star (which is MockProver satisfiability checking,
+not real proving).
 """
 from __future__ import annotations
 
@@ -41,7 +48,7 @@ _T0 = time.time()
 # so (a) the budget self-caps, (b) the cumulative JSON line re-prints after
 # EVERY section (the last complete line stands), and (c) SIGTERM dumps the
 # summary before dying.
-_BUDGET_S = min(float(os.environ.get("BENCH_BUDGET_S", "1000")), 3000.0)
+_BUDGET_S = min(float(os.environ.get("BENCH_BUDGET_S", "2800")), 3000.0)
 
 
 def _log(msg: str):
@@ -73,6 +80,21 @@ def _fixed_key():
     from halo2tpu.utils.rsa_native import load_fixed_key
     return load_fixed_key(os.path.join(os.path.dirname(__file__),
                                        "tests/golden/rsa_key_2048.json"))
+
+
+# Cross-section state: the RSA and composite circuits share k=15, so ONE
+# JaxEngine (and its two ~0.8 GB MSM window tables + device SRS) serves
+# both — a second engine would double the dominant HBM resident and pay
+# the table build twice.  Also holds pk/circuit handles for the soak.
+STATE: dict = {}
+
+
+def _shared_engine(domain, srs):
+    from halo2tpu.plonk.engine import make_engine
+    key = ("jax", domain.n)
+    if key not in STATE:
+        STATE[key] = make_engine("jax", domain, srs)
+    return STATE[key]
 
 
 def _bench(fn, *args, warmup=1, iters=8):
@@ -232,7 +254,7 @@ def bench_rsa_proof():
     pk, vk = keygen_cached(c, k, srs, cache_key="rsa_sha256_bench", engine="jax")
     kg = time.perf_counter() - t0
 
-    eng = make_engine("jax", vk.domain, srs)
+    eng = _shared_engine(vk.domain, srs)
     _log(f"rsa: cold proof (keygen took {kg:.1f}s)")
     t0 = time.perf_counter()
     create_proof(pk, srs, c, c.instances(), rng_seed=3, engine=eng)
@@ -247,6 +269,7 @@ def bench_rsa_proof():
     ok = verify_proof(vk, srs, c.instances(), proof)
     tv = time.perf_counter() - t0
     assert ok, "rsa proof failed local verification"
+    STATE["rsa"] = (pk, vk, c, srs)
     RESULTS["rsa_sha256_proof"] = {
         "k": k, "msg_bytes": len(msg), "keygen_s": round(kg, 2),
         "cold_prove_s": round(cold, 3),
@@ -290,7 +313,7 @@ def bench_composite_proof():
     t0 = time.perf_counter()
     pk, vk = keygen_cached(c, k, srs, cache_key="aadhaar_bench", engine="jax")
     kg = time.perf_counter() - t0
-    eng = make_engine("jax", vk.domain, srs)
+    eng = _shared_engine(vk.domain, srs)
     _log(f"composite: cold proof (keygen took {kg:.1f}s)")
     t0 = time.perf_counter()
     create_proof(pk, srs, c, c.instances(), rng_seed=5, engine=eng)
@@ -308,12 +331,88 @@ def bench_composite_proof():
             f.write(proof)
         raise AssertionError("composite proof failed local verification "
                              "(proof dumped to .cache/)")
+    STATE["composite"] = (pk, vk, c, srs)
     RESULTS["aadhaar_composite_proof"] = {
         "k": k, "qr_bytes": len(qr), "keygen_s": round(kg, 2),
         "cold_prove_s": round(cold, 3), "prove_s": round(t, 3),
-        "target_s": AADHAAR_TARGET_S,
+        "target_s": AADHAAR_TARGET_S, "ref_mock_s": RSA_BASELINE_S,
         "phases": {p_: round(v, 3) for p_, v in tr.phases.items()}}
     return t
+
+
+def bench_soak():
+    """Determinism/soundness soak (VERDICT r4 #2): alternate RSA and
+    composite proofs with fresh blinding seeds, verifying EVERY proof
+    locally.  A single unverifiable proof fails the section (and dumps the
+    bytes for bisection)."""
+    from halo2tpu.plonk.prover import create_proof
+    from halo2tpu.plonk.verifier import verify_proof
+    n_runs = int(os.environ.get("BENCH_SOAK_N", "6"))
+    targets = [t for t in ("rsa", "composite") if t in STATE]
+    if not targets:
+        SKIPPED.append("soak (no proved circuits in STATE)")
+        return
+    runs = 0
+    times = []
+    for i in range(n_runs):
+        if runs and not _have_time(1.5 * max(times) if times else 60,
+                                   f"soak run {i}"):
+            break
+        name = targets[i % len(targets)]
+        pk, vk, c, srs = STATE[name]
+        eng = _shared_engine(vk.domain, srs)
+        seed = 1000 + i
+        t0 = time.perf_counter()
+        proof = create_proof(pk, srs, c, c.instances(), rng_seed=seed,
+                             engine=eng)
+        times.append(time.perf_counter() - t0)
+        if not verify_proof(vk, srs, c.instances(), proof):
+            with open(f".cache/failed_soak_{name}_{seed}.bin", "wb") as f:
+                f.write(proof)
+            RESULTS["soak"] = {"runs": runs, "failed": f"{name} seed={seed}"}
+            raise AssertionError(f"soak: {name} proof seed={seed} failed "
+                                 "local verification (dumped to .cache/)")
+        runs += 1
+        _log(f"soak {runs}/{n_runs}: {name} ok ({times[-1]:.1f}s)")
+    RESULTS["soak"] = {"runs": runs, "all_verified": True,
+                       "prove_s": [round(x, 2) for x in times]}
+
+
+def bench_host_compare():
+    """Real-prover vs real-prover at the same k (VERDICT r4 #8): the
+    HostEngine (python-int golden path) against the JaxEngine on circuits
+    small enough for host proving — Square (k=4) and Nullifier (k=11)."""
+    from halo2tpu.circuits.signal import SquareCircuit
+    from halo2tpu.circuits.nullifier import NullifierCircuit
+    from halo2tpu.plonk.engine import make_engine
+    from halo2tpu.plonk.keygen import keygen
+    from halo2tpu.plonk.prover import create_proof
+    from halo2tpu.plonk.srs import setup
+    from halo2tpu.plonk.verifier import verify_proof
+
+    rows = {}
+    photo = bytes((i * 7 + 3) % 256 for i in range(124))
+    for name, make in (
+            ("square", lambda: (SquareCircuit(5), 4)),
+            ("nullifier", lambda: (NullifierCircuit(12345678, photo), 10))):
+        c, k = make()
+        srs = setup(k)
+        pk, vk = keygen(c, k, srs)
+        host_eng = make_engine("host", vk.domain, srs)
+        t0 = time.perf_counter()
+        p1 = create_proof(pk, srs, c, c.instances(), rng_seed=9,
+                          engine=host_eng)
+        th = time.perf_counter() - t0
+        jeng = make_engine("jax", vk.domain, srs)
+        create_proof(pk, srs, c, c.instances(), rng_seed=9, engine=jeng)
+        t0 = time.perf_counter()
+        p2 = create_proof(pk, srs, c, c.instances(), rng_seed=9, engine=jeng)
+        tj = time.perf_counter() - t0
+        assert p1 == p2, f"{name}: host/jax proof bytes diverge"
+        assert verify_proof(vk, srs, c.instances(), p1)
+        rows[name] = {"k": k, "host_prove_s": round(th, 4),
+                      "jax_prove_s": round(tj, 4), "byte_parity": True}
+    RESULTS["host_compare"] = rows
 
 
 def bench_scaling():
@@ -377,17 +476,21 @@ def main():
     _log(f"backend={RESULTS['backend']} level={level} budget={_BUDGET_S:.0f}s")
     _emit()   # a parseable line exists from second zero, whatever happens
 
-    # Ordered by value-per-second: headline RSA number lands before the
-    # optional sections so a harness kill cannot erase it.
-    plan = [("kernels", bench_kernels, 60),
-            ("square", bench_square_proof, 90)]
+    # Order (VERDICT r4 #1): the never-captured composite number runs
+    # FIRST among the proof sections; RSA follows and reuses the shared
+    # engine (MSM tables + compiled kernels), so its cold cost is small.
+    # The cumulative line re-prints after every section, so a harness kill
+    # can only erase later sections.
+    plan = [("kernels", bench_kernels, 60)]
     if level in ("full", "all"):
-        plan.append(("rsa", bench_rsa_proof, 240))
-    plan.append(("msm_kernel", bench_msm_kernel, 120))
+        plan.append(("composite", bench_composite_proof, 420))
+        plan.append(("rsa", bench_rsa_proof, 150))
+    plan.append(("square", bench_square_proof, 90))
+    plan.append(("msm_kernel", bench_msm_kernel, 90))
     if level in ("full", "all"):
-        plan.append(("composite", bench_composite_proof, 300))
-    if level == "all":
-        plan.append(("scaling", bench_scaling, 400))
+        plan.append(("soak", bench_soak, 200))
+        plan.append(("scaling", bench_scaling, 300))
+        plan.append(("host_compare", bench_host_compare, 120))
 
     for name, fn, need in plan:
         if not _have_time(need, name):

@@ -53,6 +53,13 @@ IST_OFFSET = 19800
 @dataclass
 class AadhaarParams:
     signed_len: int = 700          # bytes covered by the signature (lib.rs:860)
+    # Dynamic-length SHA-256 (the reference's Sha256DynamicConfig semantics,
+    # /root/reference/src/lib.rs:308-315): ONE vk serves any signed length
+    # <= max_signed_len — the actual length is a witness, bound to the
+    # signature by the in-circuit FIPS padding.  704 keeps the same 12
+    # compression blocks as the static 700-byte path; set None to bake the
+    # length into the vk (legacy static mode).
+    max_signed_len: int | None = 704
     max_photo: int = 960           # static photo capacity (31-byte packing)
     max_state: int = 16
     num_advice: int = 80
@@ -72,6 +79,9 @@ class AadhaarWitness:
     reveal_gender: bool = True
     reveal_pincode: bool = True
     reveal_state: bool = True
+    # dynamic mode: bytes of qr_data the signature covers (defaults to
+    # params.signed_len); must be <= params.max_signed_len
+    signed_len: int | None = None
 
 
 def packed_photo_elements(photo: bytes, max_photo: int) -> list[int]:
@@ -193,8 +203,27 @@ class AadhaarQRVerifierCircuit(Circuit):
             rng.range_check(c, 8)
             byte_cells.append(c)
 
-        # 1. RSA-SHA256 over the signed prefix
-        digest = sha.digest(byte_cells[:p.signed_len], bytes(data[:p.signed_len]))
+        # 1. RSA-SHA256 over the signed prefix.  Dynamic mode (default):
+        # the signed length is a WITNESS — the buffer's message prefix is
+        # bound to the QR byte cells under the s-indicator, and the FIPS
+        # length field (hence the signature) pins the exact length.
+        if p.max_signed_len is not None:
+            from ..gadgets.sha256 import pad_dynamic
+            slen = w.signed_len if w.signed_len is not None else p.signed_len
+            assert slen <= p.max_signed_len and slen <= data_len
+            buf = pad_dynamic(bytes(data[:slen]), p.max_signed_len)
+            data_cells = []
+            for b in buf:
+                c = gate.load_witness(b)
+                rng.range_check(c, 8)
+                data_cells.append(c)
+            mlen_cell = gate.load_witness(slen)
+            digest = sha.digest_dynamic(data_cells, mlen_cell,
+                                        p.max_signed_len,
+                                        bind_cells=byte_cells)
+        else:
+            digest = sha.digest(byte_cells[:p.signed_len],
+                                bytes(data[:p.signed_len]))
         rev = digest[::-1]
         words = [gate.inner_product(rev[8 * i:8 * i + 8],
                                     [Const(1 << (8 * j)) for j in range(8)])

@@ -36,10 +36,11 @@ class RSASha256Params:
     num_lookup_advice: int = 12
     lookup_bits: int = 12
     sha_lanes: int = 16
-    # when set, use the dynamic-length SHA-256 path: ONE vk serves any
-    # message length <= max_msg_len (Sha256DynamicConfig capability,
-    # /root/reference/src/lib.rs:308-315)
-    max_msg_len: int | None = None
+    # Dynamic-length SHA-256 (default, matching the reference's
+    # `Sha256DynamicConfig` with max 1024, /root/reference/src/lib.rs:264,
+    # 308-315): ONE vk serves any message length <= max_msg_len.  Set None
+    # for the legacy static path (message length baked into the vk).
+    max_msg_len: int | None = 1024
 
 
 class RSASha256Circuit(Circuit):

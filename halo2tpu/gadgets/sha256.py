@@ -346,7 +346,8 @@ class Sha256Chip:
                 out.append(byte)
         return out
 
-    def digest_dynamic(self, data_cells: list, mlen_cell, max_len: int):
+    def digest_dynamic(self, data_cells: list, mlen_cell, max_len: int,
+                       bind_cells: list | None = None):
         """ONE vk serves any message length <= max_len — realizes the
         reference's `Sha256DynamicConfig` capability
         (/root/reference/src/lib.rs:308-315): the constraint structure
@@ -369,6 +370,12 @@ class Sha256Chip:
           - big-endian length field of the final block packs to 8*mlen
           - digest = one-hot select of the per-block chained states
 
+        bind_cells: optional external byte cells (e.g. the QR payload a
+        composite circuit also extracts from); adds s_i * (data_i - bind_i)
+        = 0 for each provided cell, so the dynamic buffer's message prefix
+        is copy-equivalent to the caller's bytes WITHOUT static wiring that
+        would bake the length into the vk.
+
         Returns 32 digest byte cells (big-endian order).
         """
         g = self.gate
@@ -387,6 +394,16 @@ class Sha256Chip:
         for i in range(total - 1):
             g.assert_bit(g.sub(s_cells[i], s_cells[i + 1]))
         g.assert_equal(g.sum(s_cells), mlen_cell)
+
+        if bind_cells is not None:
+            assert len(bind_cells) >= mlen, "bind_cells shorter than message"
+            for i, bc in enumerate(bind_cells[:total]):
+                diff = g.sub(data_cells[i], bc)
+                g.assert_is_const(g.mul(s_cells[i], diff), 0)
+            if len(bind_cells) < total:
+                # message must fit inside the bound bytes: s is monotone
+                # non-increasing, so one zero pins mlen <= len(bind_cells)
+                g.assert_is_const(s_cells[len(bind_cells)], 0)
 
         # final-block one-hot + index
         final_blk = (mlen + 8) // 64

@@ -53,6 +53,7 @@ def build_mini_qr() -> bytes:
 
 MINI_PARAMS = AadhaarParams(
     signed_len=0,  # filled in fixture (sign everything)
+    max_signed_len=160,  # dynamic SHA buffer sized to the mini QR (143 B)
     max_photo=62, max_state=16, num_advice=48,
     num_lookup_advice=12, lookup_bits=12, sha_lanes=16)
 
@@ -161,3 +162,28 @@ def test_full_golden_qr_real_proof():
     bad = [list(c.instances()[0])]
     bad[0][0] ^= 1
     assert not verify_proof(vk, srs, bad, proof)
+
+
+def test_composite_one_vk_two_signed_lengths(setup):
+    """VERDICT r4 #7: ONE composite vk serves two different signed lengths
+    — the dynamic SHA buffer makes the constraint structure independent of
+    the witnessed signed_len (reference Sha256DynamicConfig semantics)."""
+    from halo2tpu.plonk.keygen import cs_structure_digest
+
+    w, p = setup
+    qr = w.qr_data
+    key, n, e = generate_key(2048)
+    short = 100
+    c_full = AadhaarQRVerifierCircuit(
+        AadhaarWitness(qr, n, sign_pkcs1v15_sha256(key, qr),
+                       nullifier_seed=1, signal_hash=2,
+                       signed_len=len(qr)), p)
+    c_short = AadhaarQRVerifierCircuit(
+        AadhaarWitness(qr, n, sign_pkcs1v15_sha256(key, qr[:short]),
+                       nullifier_seed=1, signal_hash=2,
+                       signed_len=short), p)
+    assert cs_structure_digest(c_full) == cs_structure_digest(c_short)
+    for c in (c_full, c_short):
+        mp = MockProver.run(K, c, c.instances())
+        fails = mp.verify()
+        assert not fails, fails[:3]
