@@ -115,6 +115,9 @@ class GateChip:
         self._adv_arrays = [asn.advice[c.index] for c in config.advice]
         self._q_arrays = [asn.fixed[c.index] for c in config.q_enable]
         self._copies = asn.copies
+        # proof-time synthesis (asn.recording False) skips all copy/const
+        # bookkeeping — the pk already holds the permutation and fixed cols
+        self._rec = asn.recording
 
     # -- placement ----------------------------------------------------------
     def _const_cell(self, value: int) -> tuple[Column, int]:
@@ -147,15 +150,17 @@ class GateChip:
         col = self.cfg.advice[ci]
         arr = self._adv_arrays[ci]
         copies = self._copies
+        rec = self._rec
         out: list[AssignedValue] = []
         row = start
         for cell in spec:
             v = cell.value
-            tc = type(cell)
-            if tc is AssignedValue:
-                copies.append(((cell.col, cell.row), (col, row)))
-            elif tc is Const:
-                copies.append((self._const_cell(v), (col, row)))
+            if rec:
+                tc = type(cell)
+                if tc is AssignedValue:
+                    copies.append(((cell.col, cell.row), (col, row)))
+                elif tc is Const:
+                    copies.append((self._const_cell(v), (col, row)))
             arr[row] = v
             out.append(AssignedValue(col, row, v))
             row += 1
@@ -285,20 +290,23 @@ class GateChip:
         arr = self._adv_arrays[ci]
         copies = self._copies
         const_cell = self._const_cell
+        rec = self._rec
         row = start
         arr[row] = 0
-        copies.append((const_cell(0), (col, row)))
+        if rec:
+            copies.append((const_cell(0), (col, row)))
         row += 1
         acc = 0
         for x, y in zip(a, b):
             xv = x.value
             yv = y.value
             for cell, v in ((x, xv), (y, yv)):
-                tc = type(cell)
-                if tc is AssignedValue:
-                    copies.append(((cell.col, cell.row), (col, row)))
-                elif tc is Const:
-                    copies.append((const_cell(v), (col, row)))
+                if rec:
+                    tc = type(cell)
+                    if tc is AssignedValue:
+                        copies.append(((cell.col, cell.row), (col, row)))
+                    elif tc is Const:
+                        copies.append((const_cell(v), (col, row)))
                 arr[row] = v
                 row += 1
             acc = (acc + xv * yv) % R

@@ -145,6 +145,7 @@ class Sha256Chip:
              "q_dec0": asn.fixed[lane["q_dec0"].index]}
             for lane in cfg.lanes]
         self._copies = asn.copies
+        self._rec = asn.recording
 
     # -- custom-region emitters ----------------------------------------------
     def _lane_rows(self, n: int):
@@ -169,6 +170,7 @@ class Sha256Chip:
         u0c, u1c, u2c, u3c = lane["u"]
         fn = self._BITFNS[qname]
         append = self._copies.append
+        rec = self._rec
         out = []
         row = start
         for x, y, z in triples:
@@ -178,9 +180,10 @@ class Sha256Chip:
             u2a[row] = z.value
             u3a[row] = ov
             qa[row] = 1
-            append(((x.col, x.row), (u0c, row)))
-            append(((y.col, y.row), (u1c, row)))
-            append(((z.col, z.row), (u2c, row)))
+            if rec:
+                append(((x.col, x.row), (u0c, row)))
+                append(((y.col, y.row), (u1c, row)))
+                append(((z.col, z.row), (u2c, row)))
             out.append(AssignedValue(u3c, row, ov))
             row += 1
         return out

@@ -222,11 +222,18 @@ class ConstraintSystem:
 
 
 class Assignment:
-    """Dense column matrices over Fr as python ints (numpy object arrays)."""
+    """Dense column matrices over Fr as python ints (numpy object arrays).
 
-    def __init__(self, cs: ConstraintSystem, n: int):
+    recording=False is the PROOF-TIME mode: copies, q-selector and fixed
+    values are already baked into the proving key (permutation mapping +
+    packed fixed columns), so per-proof synthesis only needs the advice
+    values — chips skip all copy bookkeeping (a measurable slice of the
+    witness-generation hot loop)."""
+
+    def __init__(self, cs: ConstraintSystem, n: int, recording: bool = True):
         self.cs = cs
         self.n = n
+        self.recording = recording
         self.advice = [np.zeros(n, dtype=object) for _ in range(cs.num_advice)]
         self.fixed = [np.zeros(n, dtype=object) for _ in range(cs.num_fixed)]
         self.instance = [np.zeros(n, dtype=object) for _ in range(cs.num_instance)]
@@ -252,6 +259,8 @@ class Assignment:
         self.assign(col, row, 1)
 
     def copy(self, a: tuple[Column, int], b: tuple[Column, int]) -> None:
+        if not self.recording:
+            return
         for col, _row in (a, b):
             assert col in self._perm_set, f"{col} lacks enable_equality"
         self.copies.append((a, b))

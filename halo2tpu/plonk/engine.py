@@ -50,7 +50,9 @@ class HostEngine:
     def from_ints(self, vals):
         return [v % R for v in vals]
 
-    def from_ints_stack(self, cols):
+    def from_ints_stack(self, cols, reduced=False):
+        if reduced:
+            return [list(c) for c in cols]
         return [self.from_ints(c) for c in cols]
 
     def from_packed(self, u16_arr):
@@ -568,13 +570,15 @@ class JaxEngine:
     def from_ints(self, vals):
         return JFR.encode(vals)
 
-    def from_ints_stack(self, cols):
+    def from_ints_stack(self, cols, reduced=False):
         """Many equal-length int columns -> list of (n, 16) vectors via ONE
-        packed transfer + one widen/to-mont pass."""
+        packed transfer + one widen/to-mont pass.  reduced=True skips the
+        per-value mod (caller guarantees 0 <= v < R — e.g. synthesis
+        output, whose assignment paths already reduce)."""
         if not cols:
             return []
-        u16 = np.stack([jfield.ints_to_limbs16([v % R for v in c])
-                        for c in cols])
+        u16 = np.stack([jfield.ints_to_limbs16(
+            c if reduced else [v % R for v in c]) for c in cols])
         stacked = JFR.encode_packed(u16)
         return [stacked[i] for i in range(len(cols))]
 

@@ -130,17 +130,19 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     instance_polys = eng.lagrange_to_coeff_stack(instance_values)
 
     # -- phase 1: advice ---------------------------------------------------
-    asn = Assignment(cs, n)
+    # recording=False: per-proof synthesis emits only advice VALUES — the
+    # copies/fixed/selector structure is already baked into the pk
+    asn = Assignment(cs, n, recording=False)
     with tr.phase("synthesize"):
         circuit.synthesize(pk.config, asn)
-    advice_ints = []
-    for col in asn.advice:
-        vals = [int(x) % R for x in col]
-        for i in range(u, n):
-            vals[i] = _rng_field(rng)
-        advice_ints.append(vals)
+        advice_ints = []
+        for col in asn.advice:
+            vals = col.tolist()          # assignment paths keep 0 <= v < R
+            for i in range(u, n):
+                vals[i] = _rng_field(rng)
+            advice_ints.append(vals)
     with tr.phase("advice_ntt"):
-        advice_values = eng.from_ints_stack(advice_ints)
+        advice_values = eng.from_ints_stack(advice_ints, reduced=True)
         advice_polys = eng.lagrange_to_coeff_stack(advice_values)
     del advice_ints
     with tr.phase("commit_advice"):

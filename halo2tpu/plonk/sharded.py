@@ -142,7 +142,7 @@ class ShardedJaxEngine(JaxEngine):
     def from_ints(self, vals):
         return jax.device_put(super().from_ints(vals), self._row_sh)
 
-    def from_ints_stack(self, cols):
+    def from_ints_stack(self, cols, reduced=False):
         return [self.from_ints(c) for c in cols]
 
     def from_packed(self, u16_arr):
