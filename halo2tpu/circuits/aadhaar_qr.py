@@ -341,6 +341,16 @@ class AadhaarQRVerifierCircuit(Circuit):
 
         self.stats = {**rng.finalize(), **sha.occupancy(), **pos.occupancy()}
 
+    def layout_tag(self) -> str:
+        """Layout determinants beyond the constraint system (keygen cache
+        safety): params, QR byte count, and — static SHA mode only — the
+        baked signed length."""
+        p = self.p
+        slen = "dyn" if p.max_signed_len is not None else p.signed_len
+        return (f"aadhaar,{p.max_signed_len},{p.max_photo},{p.max_state},"
+                f"{p.num_advice},{p.num_lookup_advice},{p.lookup_bits},"
+                f"{p.sha_lanes},{len(self.w.qr_data)},{slen}")
+
     def instances(self):
         w, p = self.w, self.p
         o = native_outputs(w, p)

@@ -118,6 +118,14 @@ class RSASha256Circuit(Circuit):
 
         self.stats = {**rng.finalize(), **sha.occupancy()}
 
+    def layout_tag(self) -> str:
+        """Everything the synthesized LAYOUT depends on beyond the
+        constraint system (keygen cache safety; see cs_structure_digest)."""
+        p = self.p
+        mlen = "dyn" if p.max_msg_len is not None else len(self.msg)
+        return (f"rsa,{p.num_advice},{p.num_lookup_advice},{p.lookup_bits},"
+                f"{p.sha_lanes},{p.max_msg_len},{mlen}")
+
     def instances(self):
         n_limbs = [(self.n >> (LIMB_BITS * i)) & ((1 << LIMB_BITS) - 1)
                    for i in range(NUM_LIMBS)]

@@ -31,7 +31,8 @@ class RangeStrategyConfig:
             cs.enable_equality(col)
             self.lookup_advice.append(col)
             cs.lookup(f"range_{col.index}",
-                      [(cs.query_advice(col, 0), t)])
+                      [(cs.query_advice(col, 0), t)],
+                      max_bits=lookup_bits)
 
     @classmethod
     def configure(cls, cs, gate, lookup_bits, num_lookup_advice):

@@ -75,6 +75,11 @@ class Lookup:
     name: str
     # list of (input_expr, table_expr) pairs; compressed with theta powers
     pairs: list
+    # optional static bound: ALL honest input/table values < 2^max_bits
+    # (single-pair lookups only, e.g. range tables).  Engines may sort with
+    # narrow keys; a value exceeding the bound flips the lookup-fail flag
+    # (such a witness could never satisfy the lookup anyway).
+    max_bits: int | None = None
 
 
 class ConstraintSystem:
@@ -165,14 +170,16 @@ class ConstraintSystem:
                 self._register(q)
         self.gates.append(Gate(name, list(polys)))
 
-    def lookup(self, name: str, pairs) -> None:
+    def lookup(self, name: str, pairs, max_bits: int | None = None) -> None:
         for inp, tab in pairs:
             for e in (inp, tab):
                 qs: set = set()
                 collect_queries(e, qs)
                 for q in sorted(qs, key=lambda q: (type(q).__name__, q.column_index, q.rotation)):
                     self._register(q)
-        self.lookups.append(Lookup(name, list(pairs)))
+        if max_bits is not None:
+            assert len(pairs) == 1, "max_bits only for single-pair lookups"
+        self.lookups.append(Lookup(name, list(pairs), max_bits))
 
     # -- derived parameters (mirror halo2 ConstraintSystem) ------------------
     def gate_degree(self) -> int:

@@ -188,6 +188,14 @@ class HostEngine:
         n = self.d.n
         return a + [0] * (n - usable), s + [0] * (n - usable), None
 
+    def permute_lookup_batch(self, comp_ins, comp_tbs, usable, max_bits):
+        """Batch form: lists of compressed input/table vectors (+ per-lookup
+        Lookup.max_bits, unused here).  Returns (a_list, s_list, fails)."""
+        outs = [self.permute_lookup(ci, ct, usable)
+                for ci, ct in zip(comp_ins, comp_tbs)]
+        return ([o[0] for o in outs], [o[1] for o in outs],
+                [o[2] for o in outs if o[2] is not None])
+
     # evaluation & commitment
     def eval_poly(self, coeffs, x):
         return polyops.eval_poly(coeffs, x)
@@ -547,6 +555,96 @@ def _permute_lookup_jit(u: int, a_plain, t_plain):
 _permute_lookup_dev = jax.jit(_permute_lookup_jit, static_argnums=0)
 
 
+def _permute_narrow_one(u: int, av, tv):
+    """Single-word variant of _permute_lookup_jit for lookups with a static
+    value bound (Lookup.max_bits <= 29, e.g. 12-bit range tables): sort
+    keys are 1-2 u32 words instead of 9-11, cutting the bitonic network's
+    compare cost ~5x.  av/tv: (n,) uint32 exact values.  Same permutation
+    rule as the full path (and the host engine), so proof bytes are
+    unchanged.  Values >= 2^30 must be pre-screened by the caller
+    (_permute_lookup_narrow_jit's toowide flag)."""
+    from ..ops.sort import bitonic_sort_rows
+    n = av.shape[0]
+    row = jnp.arange(n, dtype=jnp.uint32)
+    pad = row >= u
+    FFW = jnp.uint32(0xFFFFFFFF)
+    aw = jnp.where(pad, FFW, av)
+    tw = jnp.where(pad, FFW, tv)
+
+    # 1) A' = sort(A)
+    s1 = bitonic_sort_rows(jnp.stack([aw, row], axis=1))
+    apw = s1[:, 0]
+    prev = jnp.concatenate([jnp.full((1,), FFW, jnp.uint32), apw[:-1]])
+    first = ((row == 0) | (apw != prev)) & ~pad
+
+    # 2) markers + table sorted by (value, flag, seq)
+    mark = jnp.where(first, apw, FFW)
+    vals = jnp.concatenate([mark, tw])
+    flag = jnp.concatenate([jnp.zeros(n, jnp.uint32), jnp.ones(n, jnp.uint32)])
+    row2 = jnp.arange(2 * n, dtype=jnp.uint32)
+    s2 = bitonic_sort_rows(jnp.stack([vals, (flag << 30) | row2], axis=1))
+    sval = s2[:, 0]
+    sflag = s2[:, 1] >> 30
+    prev_flag = jnp.concatenate([jnp.ones(1, jnp.uint32), sflag[:-1]])
+    prev_vals = jnp.concatenate([jnp.full((1,), FFW, jnp.uint32), sval[:-1]])
+    eq_prev = sval == prev_vals
+    consumed = (sflag == 1) & (prev_flag == 0) & eq_prev
+    is_ff = sval == FFW
+    nxt_flag = jnp.concatenate([sflag[1:], jnp.zeros(1, jnp.uint32)])
+    nxt_vals = jnp.concatenate([sval[1:], jnp.zeros((1,), jnp.uint32)])
+    eq_next = sval == nxt_vals
+    fail = jnp.any((sflag == 0) & ~is_ff & ~((nxt_flag == 1) & eq_next))
+
+    # 3) compact leftovers, ascending value (via seq in the sorted order)
+    left = (sflag == 1) & ~consumed & ~is_ff
+    ckey = jnp.where(left, jnp.uint32(0), jnp.uint32(1))
+    s3 = bitonic_sort_rows(jnp.stack([(ckey << 31) | row2, sval], axis=1))
+    lvals = s3[:, 1]
+
+    # 4) gap positions in row order
+    gkey = jnp.where(first | pad, jnp.uint32(1), jnp.uint32(0))
+    s4 = bitonic_sort_rows(jnp.stack([(gkey << 31) | row], axis=1))
+    gap_pos = s4[:, 0] & jnp.uint32(0x7FFFFFFF)
+    is_gap = (s4[:, 0] >> 31) == 0
+
+    # 5) S' assembly: k-th gap gets k-th leftover; first rows keep A'
+    cand_pos = jnp.concatenate(
+        [jnp.where(is_gap, gap_pos, FFW), jnp.where(first, row, FFW)])
+    cand_val = jnp.concatenate([lvals[:n], apw])
+    s5 = bitonic_sort_rows(jnp.stack([cand_pos, cand_val], axis=1))
+    spw = s5[:n, 1]
+
+    zero = jnp.uint32(0)
+    return (jnp.where(pad, zero, apw), jnp.where(pad, zero, spw), fail)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _permute_lookup_narrow_jit(u: int, a_plain, t_plain, max_bits: int):
+    """Batched narrow lookup permutation: a_plain/t_plain (L, n, 16) plain
+    limbs for L lookups, ALL bounded by 2^max_bits (max_bits <= 29).
+    Returns (A' plain (L, n, 16), S' plain, fail (L,)) — fail also fires
+    when a value exceeds the bound (such a witness cannot satisfy the
+    lookup; the full-width path would report the same miss)."""
+    n = a_plain.shape[1]
+    row = jnp.arange(n, dtype=jnp.uint32)
+    active = (row < u)[None, :]
+    av = a_plain[:, :, 0] | (a_plain[:, :, 1] << 16)
+    tv = t_plain[:, :, 0] | (t_plain[:, :, 1] << 16)
+    hi_a = jnp.any(a_plain[:, :, 2:] != 0, axis=2)
+    hi_t = jnp.any(t_plain[:, :, 2:] != 0, axis=2)
+    lim = jnp.uint32(1 << max_bits)
+    toowide = jnp.any(
+        (active & (hi_a | hi_t | (av >= lim) | (tv >= lim))), axis=1)
+    ap, sp, fail = jax.vmap(_permute_narrow_one, in_axes=(None, 0, 0)
+                            )(u, av, tv)
+    nz = jnp.zeros(a_plain.shape, jnp.uint32)
+    ap16 = nz.at[:, :, 0].set(ap & jnp.uint32(0xFFFF)).at[:, :, 1].set(
+        ap >> 16)
+    sp16 = nz.at[:, :, 0].set(sp & jnp.uint32(0xFFFF)).at[:, :, 1].set(
+        sp >> 16)
+    return ap16, sp16, fail | toowide
+
+
 class JaxEngine:
     """TPU engine: vectors are (n, 16) uint32 Montgomery limb arrays."""
 
@@ -560,8 +658,12 @@ class JaxEngine:
         self.msm_batch = msm_batch
         d = domain
         self._plan = jntt.get_plan(d.n, d.omega)
+        # ONE MSM context: coefficient-basis commitments route through the
+        # Lagrange bases as commit_G(coeffs) == commit_Glag(NTT(coeffs))
+        # (same polynomial, change of basis) — the second 256-entry window
+        # table would cost another ~0.8 GB HBM and ~220 s cold build for a
+        # handful of h-chunk/random-poly commits per proof.
         self._msm_lagrange = MSMContext(srs.g_lagrange[:d.n])
-        self._msm_coeff = MSMContext(srs.g[:d.n])
         self._pow_cache = {}
         self._scalar_cache = {}
         self._part_scale_cache = {}
@@ -774,9 +876,38 @@ class JaxEngine:
         ap, sp, fail = _permute_lookup_dev(usable, a_plain, t_plain)
         return JFR.to_mont(ap), JFR.to_mont(sp), fail
 
+    def permute_lookup_batch(self, comp_ins, comp_tbs, usable, max_bits):
+        """All lookups in (at most) TWO fused dispatches: the narrow group
+        (static Lookup.max_bits <= 29, e.g. every range lookup) runs the
+        vmapped single-word sort network; the rest take the full-width
+        path.  ~5x fewer sort-compare words for range-heavy circuits AND
+        one dispatch instead of one per lookup (~30 ms tunnel latency
+        each)."""
+        L = len(comp_ins)
+        a_out, s_out = [None] * L, [None] * L
+        fails = []
+        narrow = [i for i in range(L)
+                  if max_bits[i] is not None and max_bits[i] <= 29]
+        wide = [i for i in range(L) if i not in narrow]
+        if narrow:
+            mb = max(max_bits[i] for i in narrow)
+            ap = jnp.stack([JFR.from_mont(comp_ins[i]) for i in narrow])
+            tp = jnp.stack([JFR.from_mont(comp_tbs[i]) for i in narrow])
+            a16, s16, fail = _permute_lookup_narrow_jit(usable, ap, tp, mb)
+            for j, i in enumerate(narrow):
+                a_out[i] = JFR.to_mont(a16[j])
+                s_out[i] = JFR.to_mont(s16[j])
+            fails.append(fail)
+        for i in wide:
+            a_out[i], s_out[i], f = self.permute_lookup(
+                comp_ins[i], comp_tbs[i], usable)
+            fails.append(f)
+        return a_out, s_out, fails
+
     @staticmethod
     def check_lookup_fails(fails):
-        if fails and bool(jnp.any(jnp.stack(fails))):
+        if fails and bool(jnp.any(jnp.concatenate(
+                [jnp.atleast_1d(f) for f in fails]))):
             raise ValueError("lookup failure: input value not in table")
 
     # evaluation & commitment
@@ -956,7 +1087,17 @@ class JaxEngine:
     def commit_batch(self, vecs):
         if self._host_commit():
             return [self.srs.commit(self.to_ints(v)) for v in vecs]
-        return self._commit(self._msm_coeff, vecs)
+        n = self.d.n
+        evals = self.coeff_to_lagrange_stack(
+            [jnp.concatenate(
+                [v, jnp.zeros((n - v.shape[0], jfield.NLIMB), jnp.uint32)],
+                axis=0) if v.shape[0] < n else v for v in vecs])
+        return self._commit(self._msm_lagrange, evals)
+
+    def coeff_to_lagrange_stack(self, vecs):
+        if not vecs:
+            return []
+        return self._stack_transform(vecs, lambda s: jntt.ntt(self._plan, s))
 
     @staticmethod
     def _host_commit() -> bool:

@@ -214,9 +214,19 @@ def cs_structure_digest(circuit: Circuit) -> str:
         for a, b in lk.pairs:
             walk(a)
             walk(b)
-        toks.append("L")
+        toks.append(f"L,b{getattr(lk, 'max_bits', None)};")
     for col in cs.permutation_columns:
         toks.append(f"{col.kind}{col.index},")
+    # The pk also bakes in the SYNTHESIZE-level layout (cell placement,
+    # copies, selector positions), which the configure-level walk above
+    # cannot see — e.g. switching a circuit between static and dynamic
+    # SHA-256 keeps the constraint system identical but changes every
+    # fixed/permutation column.  Circuits expose the parameters that
+    # determine their layout via layout_tag(); include it so a layout
+    # change can never serve a stale pk (round-5 near-miss: the dynamic
+    # SHA default collided with the static pk cache).
+    tag = getattr(circuit, "layout_tag", None)
+    toks.append(f"T{tag() if tag else ''};")
     return keccak256("".join(toks).encode()).hex()[:16]
 
 

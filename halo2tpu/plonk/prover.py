@@ -159,26 +159,26 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     tr_lookups = tr.phase("lookups_permute")
     tr_lookups.__enter__()
     lookup_state = []
-    lookup_fails = []
+    ci_devs, ct_devs = [], []
+    for lk in cs.lookups:
+        ci_devs.append(compress_exprs(eng, [p[0] for p in lk.pairs],
+                                      lag_vals, theta, n))
+        ct_devs.append(compress_exprs(eng, [p[1] for p in lk.pairs],
+                                      lag_vals, theta, n))
+        lookup_state.append({})
+    a_vecs, s_vecs, lookup_fails = eng.permute_lookup_batch(
+        ci_devs, ct_devs, u, [lk.max_bits for lk in cs.lookups])
     raw_pairs = []      # (a_vec, s_vec) pre-blinding
     blind_lists = []    # aligned [blind_a, blind_s] per lookup
-    for lk in cs.lookups:
-        ci_dev = compress_exprs(eng, [p[0] for p in lk.pairs], lag_vals,
-                                theta, n)
-        ct_dev = compress_exprs(eng, [p[1] for p in lk.pairs], lag_vals,
-                                theta, n)
-        a_vec, s_vec, fail = eng.permute_lookup(ci_dev, ct_dev, u)
-        if fail is not None:
-            lookup_fails.append(fail)
+    for li, lk_s in enumerate(lookup_state):
         blind_a, blind_s = [], []
         for i in range(u, n):
             blind_a.append(_rng_field(rng))
             blind_s.append(_rng_field(rng))
-        raw_pairs.append((a_vec, s_vec))
+        raw_pairs.append((a_vecs[li], s_vecs[li]))
         blind_lists.extend([blind_a, blind_s])
-        lookup_state.append({
-            "comp_input_dev": ci_dev, "comp_table_dev": ct_dev,
-        })
+        lk_s["comp_input_dev"] = ci_devs[li]
+        lk_s["comp_table_dev"] = ct_devs[li]
     # one dispatch patches every lookup's blinding rows
     patched = eng.set_rows_batch(
         [v for pair in raw_pairs for v in pair], u, blind_lists)

@@ -145,6 +145,14 @@ class ShardedJaxEngine(JaxEngine):
     def from_ints_stack(self, cols, reduced=False):
         return [self.from_ints(c) for c in cols]
 
+    def permute_lookup_batch(self, comp_ins, comp_tbs, usable, max_bits):
+        """Sharded path keeps the per-lookup full-width sort (the narrow
+        vmapped network would force a resharding round-trip per stack)."""
+        outs = [self.permute_lookup(ci, ct, usable)
+                for ci, ct in zip(comp_ins, comp_tbs)]
+        return ([o[0] for o in outs], [o[1] for o in outs],
+                [o[2] for o in outs if o[2] is not None])
+
     def from_packed(self, u16_arr):
         return jax.device_put(super().from_packed(u16_arr), self._row_sh)
 
@@ -160,6 +168,12 @@ class ShardedJaxEngine(JaxEngine):
 
     def coeff_to_lagrange(self, vec):
         return self._fwd_n(vec)
+
+    def coeff_to_lagrange_stack(self, vecs):
+        # commit_batch's coeff->eval change of basis, through the sharded
+        # four-step NTT (the base-class stack transform would gather the
+        # row-sharded vectors onto one device)
+        return [self._fwd_n(v) for v in vecs]
 
     def coeff_to_extended_coset(self, vec):
         en = self.d.extended_n
@@ -197,9 +211,13 @@ class ShardedJaxEngine(JaxEngine):
     # commitment ---------------------------------------------------------
     @staticmethod
     def _host_commit() -> bool:
-        # the sharded engine's CPU-mesh tests exist precisely to exercise
-        # the GSPMD-partitioned device fold; never take the host shortcut
-        return False
+        # The GSPMD-partitioned device fold is the real path; the env flag
+        # lets the DEFAULT CI suite run a full sharded create_proof in
+        # tractable time on XLA:CPU (the EC fold graphs execute minutes-
+        # slow at the opt level the suite compiles with) — the sharded MSM
+        # fold keeps its own mesh kernel tests (test_jax_kernels).
+        import os
+        return os.environ.get("HALO2TPU_SHARDED_HOST_COMMIT") == "1"
 
     def _commit(self, ctx, vecs):
         npad = ctx.points.shape[0]
