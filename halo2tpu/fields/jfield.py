@@ -22,15 +22,43 @@ from .bn254 import Q, R as FR_MOD
 
 # Persistent XLA compilation cache: every kernel in the framework is
 # shape-stable across runs, so warm processes skip the first-compile cost.
+# The cache dir is suffixed with a hash of THIS machine's CPU features:
+# XLA:CPU entries embed AOT code for the compiling machine's ISA, and
+# loading an entry produced on a different host has caused hard SIGSEGVs
+# mid-suite (cpu_aot_loader "machine type doesn't match" warnings).
+def _machine_tag() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
+# TPU (axon) entries are target-compiled for the TPU and safe to share
+# across hosts — they keep the original dir (and its accumulated warm
+# cache); CPU-backend runs (tests, scaling subprocesses) get the
+# per-machine dir.
+_IS_CPU = "cpu" in os.environ.get("JAX_PLATFORMS", "")
 _CACHE_DIR = os.environ.get(
     "HALO2TPU_JAX_CACHE",
-    os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "jax"))
-try:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+    os.path.join(os.path.dirname(__file__), "..", "..", ".cache",
+                 f"jax-cpu-{_machine_tag()}" if _IS_CPU else "jax"))
+# HALO2TPU_JAX_CACHE=off disables the persistent cache entirely: long
+# XLA:CPU test sessions have segfaulted inside the cache's executable
+# (de)serialization (jax compilation_cache.py get/put_executable_and_time)
+# — the test suite (conftest.py) runs with the cache off.
+if _CACHE_DIR != "off":
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 NLIMB = 16
 LIMB_BITS = 16
@@ -111,6 +139,14 @@ class FieldSpec:
     def encode_packed(self, u16_arr) -> jax.Array:
         """(..., 16) uint16 plain limbs (host numpy) -> device Montgomery."""
         return _jit_widen_to_mont(self, jnp.asarray(u16_arr))
+
+    def encode_narrow_stack(self, main_u16, tail_u16, split: int):
+        """Columns of SMALL values on a 1/16-width wire: main_u16 (L, n)
+        uint16 VALUES (rows >= split zeroed host-side), tail_u16
+        (L, n-split, 16) full limbs for the tail rows (blinding).  Returns
+        (L, n, 16) Montgomery."""
+        return _jit_narrow_stack_to_mont(self, jnp.asarray(main_u16),
+                                         jnp.asarray(tail_u16), split)
 
     def decode(self, arr) -> list[int]:
         plain = np.asarray(jax.device_get(_jit_from_mont_narrow(self, arr)))
@@ -347,6 +383,18 @@ def _jit_widen_to_mont(spec, a16):
 @partial(jax.jit, static_argnums=0)
 def _jit_from_mont_narrow(spec, a):
     return mont_mul(spec, a, spec.one_plain).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _jit_narrow_stack_to_mont(spec, main_u16, tail_u16, split: int):
+    """(L, n) u16 values + (L, n-split, 16) tail limbs -> (L, n, 16)
+    Montgomery (values < 2^16 occupy limb 0 only)."""
+    L, n = main_u16.shape
+    limbs = jnp.zeros((L, n, NLIMB), jnp.uint32)
+    limbs = limbs.at[:, :, 0].set(main_u16.astype(jnp.uint32))
+    limbs = jax.lax.dynamic_update_slice(
+        limbs, tail_u16.astype(jnp.uint32), (0, split, 0))
+    return mont_mul(spec, limbs, spec.r2_limbs)
 
 
 def _prefix_sum_mod(spec: FieldSpec, a):

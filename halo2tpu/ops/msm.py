@@ -229,8 +229,8 @@ def _window_digits(sc):
     return jnp.moveaxis(d, -1, 0)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _partials_fused(table_f, scalar_limbs, C):
+@partial(jax.jit, static_argnums=(2, 3))
+def _partials_fused(table_f, scalar_limbs, C, P=NUM_WINDOWS):
     """The ENTIRE windowed fold — row loop, tail tree-fold, transpose — as
     ONE XLA program, so an MSM batch is a single dispatch.
 
@@ -244,15 +244,21 @@ def _partials_fused(table_f, scalar_limbs, C):
         issue, so a 32-step python-driven fold chain costs ~1 s of pure
         latency.  Chains inside one compiled program are free.
 
+    P: number of LIVE digit planes — scalars known < 2^(8P) (e.g. advice
+    columns of bits/bytes/lookup limbs) fold only their live planes,
+    cutting the per-step padd work NUM_WINDOWS/P-fold.  The caller is
+    responsible for the bound (prover: per-column max before blinding,
+    blinding rows split into a full-width tail fold).
+
     table_f: (3, W, 16, n) uint16 multiples (widened to f32 per row step);
     scalar_limbs (B, n, 16) plain limbs.
-    Returns (B, NUM_WINDOWS, 3, 16) per-digit-plane sums."""
+    Returns (B, P, 3, 16) per-digit-plane sums."""
     from .pallas_ec import (TILE, fold_add_any, fold_mixed, from_limb_major,
                             identity_lm)
     n = table_f.shape[-1]
     bsz = scalar_limbs.shape[0]
     rows = n // C
-    G = NUM_WINDOWS * bsz
+    G = P * bsz
     L = G * C
     lpad = -L % TILE
     acc0 = identity_lm(L + lpad)
@@ -262,7 +268,7 @@ def _partials_fused(table_f, scalar_limbs, C):
     def body(r, acc):
         tab_c = jax.lax.dynamic_slice_in_dim(table_f, r * C, C, axis=3)
         sc = jax.lax.dynamic_slice_in_dim(scalar_limbs, r * C, C, axis=1)
-        digs = _window_digits(sc).reshape(G, C)
+        digs = _window_digits(sc)[:P].reshape(G, C)
         oh = (digs[:, None, :] == wrange[None, :, None]).astype(jnp.bfloat16)
         # the select runs as TWO bf16 MXU einsums over the table's 8-bit
         # halves: all operands are bf16-EXACT (entries <= 255, one-hot 0/1,
@@ -291,14 +297,15 @@ def _partials_fused(table_f, scalar_limbs, C):
         acc = fold_add_any(a4[..., :half].reshape(3, 16, G * half),
                            a4[..., half:].reshape(3, 16, G * half))
         width = half
-    out = from_limb_major(acc, (NUM_WINDOWS, bsz))
+    out = from_limb_major(acc, (P, bsz))
     return jnp.transpose(out, (1, 0, 2, 3))
 
 
-def _digit_partials_pallas(table_f, scalar_limbs, fold_width=None):
+def _digit_partials_pallas(table_f, scalar_limbs, fold_width=None,
+                           planes=NUM_WINDOWS):
     n = table_f.shape[-1]
     C = min(n, fold_width or _FOLD_WIDTH)
-    return _partials_fused(table_f, scalar_limbs, C)
+    return _partials_fused(table_f, scalar_limbs, C, planes)
 
 
 @partial(jax.jit, donate_argnums=())
@@ -435,34 +442,64 @@ class MSMContext:
     """Caches device-resident SRS bases (padded to a power of two) and,
     on the pallas path, their windowed multiple table (lazily built,
     stored (3, W, 16, n) uint16 — limbs are 16-bit, and f32 storage would
-    double the dominant HBM resident of the prover)."""
+    double the dominant HBM resident of the prover).
 
-    def __init__(self, points: list):
+    cache_tag: when set, the built table persists to
+    .cache/msm_table_<tag>.npy — the device build costs ~220 s at n=2^15
+    (254 wide doubling/add dispatches), while a disk load + host->device
+    transfer is ~20 s.  The one-time save pays a slow device->host read."""
+
+    def __init__(self, points: list, cache_tag: str | None = None):
         n = len(points)
         npad = 1 << (n - 1).bit_length() if n > 1 else 1
         pts = list(points) + [None] * (npad - n)
         self.n = n
         self.points = affine_to_device(pts)
         self._table = None
+        self._cache_tag = cache_tag
+
+    def _table_path(self):
+        import os
+        if self._cache_tag is None:
+            return None
+        d = os.environ.get("HALO2TPU_CACHE", os.path.join(
+            os.path.dirname(__file__), "..", "..", ".cache"))
+        return os.path.join(d, f"msm_table_{self._cache_tag}.npy")
 
     @property
     def table(self):
         if self._table is None:
+            import os
+            path = self._table_path()
+            npad = self.points.shape[0]
+            if path and os.path.exists(path):
+                host = np.load(path, mmap_mode="r")
+                if host.shape == (3, TABLE_W, NLIMB, npad):
+                    self._table = jnp.asarray(np.ascontiguousarray(host))
+                    return self._table
             from .pallas_ec import to_limb_major
             tab = precompute_window_table(to_limb_major(self.points))
-            npad = tab.shape[-1]
             self._table = jax.jit(
                 lambda t: t.reshape(3, TABLE_W, NLIMB, npad)
                 .astype(jnp.uint16))(tab)
+            if path:
+                try:
+                    np.save(path, np.asarray(self._table))
+                except Exception:
+                    pass   # cache is best-effort
         return self._table
 
-    def partials(self, plain_limbs):
+    def partials(self, plain_limbs, planes: int = NUM_WINDOWS,
+                 fold_width=None):
         """(B, npad, 16) plain scalar limbs (device) -> device partial sums
-        ((B, NUM_WINDOWS, 3, 16) windowed or (B, 254, 3, 16) bit-serial).
+        ((B, planes, 3, 16) windowed or (B, 254, 3, 16) bit-serial).
+        planes < NUM_WINDOWS: scalars bounded by 2^(8*planes) — the fold
+        skips the all-zero digit planes (engine._commit's bucket path).
         No device->host transfer: batches accumulate device-side so a whole
         commit phase pays ONE read (finalize)."""
         if _use_pallas():
-            return _digit_partials_pallas(self.table, plain_limbs)
+            return _digit_partials_pallas(self.table, plain_limbs,
+                                          fold_width, planes)
         return _bit_partials(self.points, plain_limbs)
 
     def finalize(self, partials_batches: list) -> list:

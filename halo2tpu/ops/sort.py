@@ -56,3 +56,38 @@ def bitonic_sort_rows(words):
             take_p = want_min == p_less
             x = jnp.where(take_p[:, None], p, x)
     return x
+
+
+@partial(jax.jit, static_argnums=())
+def bitonic_sort_rows_batched(words):
+    """Batched bitonic sort: (L, m, W) -> each L-slice sorted independently
+    (ascending lexicographic, word 0 MSW).  HAND-batched — on the axon TPU
+    stack, jax.vmap of bitonic_sort_rows lowers INCORRECTLY (observed:
+    batch-of-1 correct, batch-of-12 consistently wrong even on identical
+    tiled inputs), so the leading axis is threaded explicitly."""
+    L, m, W = words.shape
+    logm = m.bit_length() - 1
+    assert 1 << logm == m, "row count must be a power of two"
+    idx = jnp.arange(m, dtype=jnp.uint32)
+    x = words
+
+    def lex_less(a, b):
+        lt = jnp.zeros((L, m), jnp.bool_)
+        eq = jnp.ones((L, m), jnp.bool_)
+        for i in range(W):
+            lt = lt | (eq & (a[:, :, i] < b[:, :, i]))
+            eq = eq & (a[:, :, i] == b[:, :, i])
+        return lt
+
+    for k in range(1, logm + 1):
+        asc = ((idx >> k) & 1) == 0
+        for j in range(k - 1, -1, -1):
+            stride = 1 << j
+            p = x.reshape(L, m // (2 * stride), 2, stride, W)[:, :, ::-1]
+            p = p.reshape(L, m, W)
+            lower = (idx & stride) == 0
+            p_less = lex_less(p, x)
+            want_min = (lower == asc)[None, :]
+            take_p = want_min == p_less
+            x = jnp.where(take_p[:, :, None], p, x)
+    return x

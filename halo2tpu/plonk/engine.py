@@ -50,7 +50,8 @@ class HostEngine:
     def from_ints(self, vals):
         return [v % R for v in vals]
 
-    def from_ints_stack(self, cols, reduced=False):
+    def from_ints_stack(self, cols, reduced=False, bits=None,
+                        blind_start=None):
         if reduced:
             return [list(c) for c in cols]
         return [self.from_ints(c) for c in cols]
@@ -271,7 +272,7 @@ class HostEngine:
                 for a, s in zip(a_vecs, s_vecs)]
         return nums, dens
 
-    def commit_lagrange_batch(self, vecs):
+    def commit_lagrange_batch(self, vecs, value_bits=None, blind_start=None):
         return [self.srs.commit_lagrange(v) for v in vecs]
 
     def commit_batch(self, vecs):
@@ -555,77 +556,18 @@ def _permute_lookup_jit(u: int, a_plain, t_plain):
 _permute_lookup_dev = jax.jit(_permute_lookup_jit, static_argnums=0)
 
 
-def _permute_narrow_one(u: int, av, tv):
-    """Single-word variant of _permute_lookup_jit for lookups with a static
-    value bound (Lookup.max_bits <= 29, e.g. 12-bit range tables): sort
-    keys are 1-2 u32 words instead of 9-11, cutting the bitonic network's
-    compare cost ~5x.  av/tv: (n,) uint32 exact values.  Same permutation
-    rule as the full path (and the host engine), so proof bytes are
-    unchanged.  Values >= 2^30 must be pre-screened by the caller
-    (_permute_lookup_narrow_jit's toowide flag)."""
-    from ..ops.sort import bitonic_sort_rows
-    n = av.shape[0]
-    row = jnp.arange(n, dtype=jnp.uint32)
-    pad = row >= u
-    FFW = jnp.uint32(0xFFFFFFFF)
-    aw = jnp.where(pad, FFW, av)
-    tw = jnp.where(pad, FFW, tv)
-
-    # 1) A' = sort(A)
-    s1 = bitonic_sort_rows(jnp.stack([aw, row], axis=1))
-    apw = s1[:, 0]
-    prev = jnp.concatenate([jnp.full((1,), FFW, jnp.uint32), apw[:-1]])
-    first = ((row == 0) | (apw != prev)) & ~pad
-
-    # 2) markers + table sorted by (value, flag, seq)
-    mark = jnp.where(first, apw, FFW)
-    vals = jnp.concatenate([mark, tw])
-    flag = jnp.concatenate([jnp.zeros(n, jnp.uint32), jnp.ones(n, jnp.uint32)])
-    row2 = jnp.arange(2 * n, dtype=jnp.uint32)
-    s2 = bitonic_sort_rows(jnp.stack([vals, (flag << 30) | row2], axis=1))
-    sval = s2[:, 0]
-    sflag = s2[:, 1] >> 30
-    prev_flag = jnp.concatenate([jnp.ones(1, jnp.uint32), sflag[:-1]])
-    prev_vals = jnp.concatenate([jnp.full((1,), FFW, jnp.uint32), sval[:-1]])
-    eq_prev = sval == prev_vals
-    consumed = (sflag == 1) & (prev_flag == 0) & eq_prev
-    is_ff = sval == FFW
-    nxt_flag = jnp.concatenate([sflag[1:], jnp.zeros(1, jnp.uint32)])
-    nxt_vals = jnp.concatenate([sval[1:], jnp.zeros((1,), jnp.uint32)])
-    eq_next = sval == nxt_vals
-    fail = jnp.any((sflag == 0) & ~is_ff & ~((nxt_flag == 1) & eq_next))
-
-    # 3) compact leftovers, ascending value (via seq in the sorted order)
-    left = (sflag == 1) & ~consumed & ~is_ff
-    ckey = jnp.where(left, jnp.uint32(0), jnp.uint32(1))
-    s3 = bitonic_sort_rows(jnp.stack([(ckey << 31) | row2, sval], axis=1))
-    lvals = s3[:, 1]
-
-    # 4) gap positions in row order
-    gkey = jnp.where(first | pad, jnp.uint32(1), jnp.uint32(0))
-    s4 = bitonic_sort_rows(jnp.stack([(gkey << 31) | row], axis=1))
-    gap_pos = s4[:, 0] & jnp.uint32(0x7FFFFFFF)
-    is_gap = (s4[:, 0] >> 31) == 0
-
-    # 5) S' assembly: k-th gap gets k-th leftover; first rows keep A'
-    cand_pos = jnp.concatenate(
-        [jnp.where(is_gap, gap_pos, FFW), jnp.where(first, row, FFW)])
-    cand_val = jnp.concatenate([lvals[:n], apw])
-    s5 = bitonic_sort_rows(jnp.stack([cand_pos, cand_val], axis=1))
-    spw = s5[:n, 1]
-
-    zero = jnp.uint32(0)
-    return (jnp.where(pad, zero, apw), jnp.where(pad, zero, spw), fail)
-
+# The narrow lookup path is a PIPELINE of five batched bitonic sorts with
+# small jitted glue stages between them — deliberately NOT one fused jit:
+# on the axon TPU stack, compiling the whole pipeline as one program
+# produces wrong results for batch sizes >= 4 (verified: identical tiled
+# inputs, batch 1-3 correct, batch 4+ consistently wrong; eager staging is
+# correct at every batch size).  jax.vmap of the 2D sort miscompiles the
+# same way — the batched sort threads its leading axis by hand.
 
 @partial(jax.jit, static_argnums=(0, 3))
-def _permute_lookup_narrow_jit(u: int, a_plain, t_plain, max_bits: int):
-    """Batched narrow lookup permutation: a_plain/t_plain (L, n, 16) plain
-    limbs for L lookups, ALL bounded by 2^max_bits (max_bits <= 29).
-    Returns (A' plain (L, n, 16), S' plain, fail (L,)) — fail also fires
-    when a value exceeds the bound (such a witness cannot satisfy the
-    lookup; the full-width path would report the same miss)."""
+def _nl_pack(u: int, a_plain, t_plain, max_bits: int):
     n = a_plain.shape[1]
+    L = a_plain.shape[0]
     row = jnp.arange(n, dtype=jnp.uint32)
     active = (row < u)[None, :]
     av = a_plain[:, :, 0] | (a_plain[:, :, 1] << 16)
@@ -635,13 +577,116 @@ def _permute_lookup_narrow_jit(u: int, a_plain, t_plain, max_bits: int):
     lim = jnp.uint32(1 << max_bits)
     toowide = jnp.any(
         (active & (hi_a | hi_t | (av >= lim) | (tv >= lim))), axis=1)
-    ap, sp, fail = jax.vmap(_permute_narrow_one, in_axes=(None, 0, 0)
-                            )(u, av, tv)
-    nz = jnp.zeros(a_plain.shape, jnp.uint32)
+    pad = row >= u
+    FFW = jnp.uint32(0xFFFFFFFF)
+    aw = jnp.where(pad[None], FFW, av)
+    tw = jnp.where(pad[None], FFW, tv)
+    rowb = jnp.broadcast_to(row, (L, n))
+    return jnp.stack([aw, rowb], axis=2), tw, toowide
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _nl_stage2(u: int, s1, tw):
+    L, n = s1.shape[0], s1.shape[1]
+    row = jnp.arange(n, dtype=jnp.uint32)
+    pad = row >= u
+    FFW = jnp.uint32(0xFFFFFFFF)
+    apw = s1[:, :, 0]
+    prev = jnp.concatenate(
+        [jnp.full((L, 1), FFW, jnp.uint32), apw[:, :-1]], axis=1)
+    first = ((row[None] == 0) | (apw != prev)) & ~pad[None]
+    mark = jnp.where(first, apw, FFW)
+    vals = jnp.concatenate([mark, tw], axis=1)
+    flag = jnp.concatenate(
+        [jnp.zeros(n, jnp.uint32), jnp.ones(n, jnp.uint32)])
+    row2 = jnp.arange(2 * n, dtype=jnp.uint32)
+    fr2 = jnp.broadcast_to((flag << 30) | row2, (L, 2 * n))
+    return jnp.stack([vals, fr2], axis=2), apw, first
+
+
+@jax.jit
+def _nl_stage3(s2):
+    L, n2 = s2.shape[0], s2.shape[1]
+    FFW = jnp.uint32(0xFFFFFFFF)
+    sval = s2[:, :, 0]
+    sflag = s2[:, :, 1] >> 30
+    prev_flag = jnp.concatenate(
+        [jnp.ones((L, 1), jnp.uint32), sflag[:, :-1]], axis=1)
+    prev_vals = jnp.concatenate(
+        [jnp.full((L, 1), FFW, jnp.uint32), sval[:, :-1]], axis=1)
+    consumed = (sflag == 1) & (prev_flag == 0) & (sval == prev_vals)
+    is_ff = sval == FFW
+    nxt_flag = jnp.concatenate(
+        [sflag[:, 1:], jnp.zeros((L, 1), jnp.uint32)], axis=1)
+    nxt_vals = jnp.concatenate(
+        [sval[:, 1:], jnp.zeros((L, 1), jnp.uint32)], axis=1)
+    fail = jnp.any(
+        (sflag == 0) & ~is_ff & ~((nxt_flag == 1) & (sval == nxt_vals)),
+        axis=1)
+    left = (sflag == 1) & ~consumed & ~is_ff
+    ckey = jnp.where(left, jnp.uint32(0), jnp.uint32(1))
+    r2b = jnp.broadcast_to(jnp.arange(n2, dtype=jnp.uint32), (L, n2))
+    return jnp.stack([(ckey << 31) | r2b, sval], axis=2), fail
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _nl_stage4(u: int, first):
+    L, n = first.shape
+    row = jnp.arange(n, dtype=jnp.uint32)
+    pad = row >= u
+    rowb = jnp.broadcast_to(row, (L, n))
+    gkey = jnp.where(first | pad[None], jnp.uint32(1), jnp.uint32(0))
+    return ((gkey << 31) | rowb)[:, :, None]
+
+
+@jax.jit
+def _nl_stage5(s3, s4, first, apw):
+    L, n = first.shape
+    FFW = jnp.uint32(0xFFFFFFFF)
+    row = jnp.arange(n, dtype=jnp.uint32)
+    rowb = jnp.broadcast_to(row, (L, n))
+    lvals = s3[:, :, 1]
+    gap_pos = s4[:, :, 0] & jnp.uint32(0x7FFFFFFF)
+    is_gap = (s4[:, :, 0] >> 31) == 0
+    cand_pos = jnp.concatenate(
+        [jnp.where(is_gap, gap_pos, FFW), jnp.where(first, rowb, FFW)],
+        axis=1)
+    cand_val = jnp.concatenate([lvals[:, :n], apw], axis=1)
+    return jnp.stack([cand_pos, cand_val], axis=2)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _nl_finish(u: int, apw, s5, shape16):
+    n = apw.shape[1]
+    pad = (jnp.arange(n, dtype=jnp.uint32) >= u)[None]
+    zero = jnp.uint32(0)
+    ap = jnp.where(pad, zero, apw)
+    sp = jnp.where(pad, zero, s5[:, :n, 1])
+    nz = jnp.zeros(shape16, jnp.uint32)
     ap16 = nz.at[:, :, 0].set(ap & jnp.uint32(0xFFFF)).at[:, :, 1].set(
         ap >> 16)
     sp16 = nz.at[:, :, 0].set(sp & jnp.uint32(0xFFFF)).at[:, :, 1].set(
         sp >> 16)
+    return ap16, sp16
+
+
+def _permute_lookup_narrow_jit(u: int, a_plain, t_plain, max_bits: int):
+    """Batched narrow lookup permutation: a_plain/t_plain (L, n, 16) plain
+    limbs for L lookups, ALL bounded by 2^max_bits (max_bits <= 29).
+    Returns (A' plain (L, n, 16), S' plain, fail (L,)) — fail also fires
+    when a value exceeds the bound (such a witness cannot satisfy the
+    lookup; the full-width path would report the same miss).  Staged, not
+    fused — see the pipeline note above."""
+    from ..ops.sort import bitonic_sort_rows_batched as bsort
+    w1, tw, toowide = _nl_pack(u, a_plain, t_plain, max_bits)
+    s1 = bsort(w1)
+    w2, apw, first = _nl_stage2(u, s1, tw)
+    s2 = bsort(w2)
+    w3, fail = _nl_stage3(s2)
+    s3 = bsort(w3)
+    s4 = bsort(_nl_stage4(u, first))
+    s5 = bsort(_nl_stage5(s3, s4, first, apw))
+    ap16, sp16 = _nl_finish(u, apw, s5, tuple(a_plain.shape))
     return ap16, sp16, fail | toowide
 
 
@@ -663,7 +708,8 @@ class JaxEngine:
         # (same polynomial, change of basis) — the second 256-entry window
         # table would cost another ~0.8 GB HBM and ~220 s cold build for a
         # handful of h-chunk/random-poly commits per proof.
-        self._msm_lagrange = MSMContext(srs.g_lagrange[:d.n])
+        self._msm_lagrange = MSMContext(
+            srs.g_lagrange[:d.n], cache_tag=f"lag{d.n}_{self._srs_tag(srs)}")
         self._pow_cache = {}
         self._scalar_cache = {}
         self._part_scale_cache = {}
@@ -672,17 +718,41 @@ class JaxEngine:
     def from_ints(self, vals):
         return JFR.encode(vals)
 
-    def from_ints_stack(self, cols, reduced=False):
+    def from_ints_stack(self, cols, reduced=False, bits=None,
+                        blind_start=None):
         """Many equal-length int columns -> list of (n, 16) vectors via ONE
         packed transfer + one widen/to-mont pass.  reduced=True skips the
         per-value mod (caller guarantees 0 <= v < R — e.g. synthesis
-        output, whose assignment paths already reduce)."""
+        output, whose assignment paths already reduce).
+
+        bits/blind_start: per-column static value bounds (pre-blinding).
+        Columns with bits <= 16 ride a 1/16-width u16 wire (the axon
+        tunnel is transfer-bound) with their full-width blinding tail
+        patched separately."""
         if not cols:
             return []
-        u16 = np.stack([jfield.ints_to_limbs16(
-            c if reduced else [v % R for v in c]) for c in cols])
-        stacked = JFR.encode_packed(u16)
-        return [stacked[i] for i in range(len(cols))]
+        out = [None] * len(cols)
+        narrow = [i for i, b in enumerate(bits or [])
+                  if b is not None and b <= 16] if blind_start else []
+        rest = [i for i in range(len(cols)) if i not in set(narrow)]
+        if narrow:
+            n = len(cols[narrow[0]])
+            main = np.zeros((len(narrow), n), "<u2")
+            tails = []
+            for j, i in enumerate(narrow):
+                main[j, :blind_start] = cols[i][:blind_start]
+                tails.append(jfield.ints_to_limbs16(cols[i][blind_start:]))
+            enc = JFR.encode_narrow_stack(main, np.stack(tails), blind_start)
+            for j, i in enumerate(narrow):
+                out[i] = enc[j]
+        if rest:
+            u16 = np.stack([jfield.ints_to_limbs16(
+                cols[i] if reduced else [v % R for v in cols[i]])
+                for i in rest])
+            stacked = JFR.encode_packed(u16)
+            for j, i in enumerate(rest):
+                out[i] = stacked[j]
+        return out
 
     def from_packed(self, u16_arr):
         return JFR.encode_packed(np.asarray(u16_arr))
@@ -1079,10 +1149,16 @@ class JaxEngine:
             out.extend(labels[j] for j in range(mj.shape[0]))
         return out
 
-    def commit_lagrange_batch(self, vecs):
+    def commit_lagrange_batch(self, vecs, value_bits=None, blind_start=None):
+        """value_bits[i]: static bound (bit length) of vec i's values on
+        rows [0, blind_start) — columns of bits/bytes/lookup limbs fold
+        only their live digit planes (ops/msm.py planes arg), with the
+        full-width blinding tail folded separately over the last base
+        chunk.  None entries (or no blind_start) take the full fold."""
         if self._host_commit():
             return [self.srs.commit_lagrange(self.to_ints(v)) for v in vecs]
-        return self._commit(self._msm_lagrange, vecs)
+        return self._commit(self._msm_lagrange, vecs, value_bits,
+                            blind_start)
 
     def commit_batch(self, vecs):
         if self._host_commit():
@@ -1112,27 +1188,104 @@ class JaxEngine:
         return (jax.default_backend() == "cpu"
                 and os.environ.get("HALO2TPU_DEVICE_MSM_ON_CPU") != "1")
 
-    def _commit(self, ctx: MSMContext, vecs):
+    # narrow-bucket plane count: scalars < 2^(8*_NARROW_PLANES).  One extra
+    # compiled _partials_fused variant; covers every bit/byte/word/lookup
+    # column (the flexgate inner-product accumulators are full-width).
+    _NARROW_PLANES = 8
+
+    @staticmethod
+    def _srs_tag(srs) -> str:
+        """Content tag for on-disk artifacts derived from the SRS."""
+        import hashlib
+        g0 = srs.g_lagrange[0]
+        g1 = srs.g_lagrange[-1]
+        return hashlib.sha256(repr((len(srs.g_lagrange), g0, g1)).encode()
+                              ).hexdigest()[:12]
+
+    def _stack_batch(self, vecs, npad):
+        chunk = list(vecs)
+        # pad the batch to a fixed size: the MSM step kernels compile
+        # per (B, C) shape, so a ragged tail batch would recompile them
+        while len(chunk) < self.msm_batch:
+            chunk.append(jnp.zeros((npad, jfield.NLIMB), jnp.uint32))
+        return jnp.stack([
+            jnp.concatenate([v, jnp.zeros((npad - v.shape[0], jfield.NLIMB),
+                                          jnp.uint32)], axis=0)
+            if v.shape[0] < npad else v for v in chunk])
+
+    def _tail_ctx(self, c0: int) -> MSMContext:
+        """MSM context over the last (n - c0) Lagrange bases — the
+        full-width fold for blinding-tail rows of narrow columns."""
+        key = ("tail", c0)
+        ctx = getattr(self, "_tail_ctxs", None)
+        if ctx is None:
+            ctx = self._tail_ctxs = {}
+        if key not in ctx:
+            ctx[key] = MSMContext(self.srs.g_lagrange[c0:self.d.n])
+        return ctx[key]
+
+    def _commit(self, ctx: MSMContext, vecs, value_bits=None,
+                blind_start=None):
         """Batched commitment: every msm_batch-sized chunk folds to device
         partial sums; the whole phase converts to host points with ONE
-        device read (sync points cost a ~30 ms tunnel round-trip each)."""
+        device read (sync points cost a ~30 ms tunnel round-trip each).
+
+        Columns with a static value bound (value_bits) split into a
+        narrow-plane main fold over rows [0, c0) plus a full-width tail
+        fold over [c0, n) (blinding rows are full field elements); the two
+        partial points add host-side."""
+        from ..curves import g1 as G1
+        from ..ops.msm import NUM_WINDOWS, _use_pallas
         npad = ctx.points.shape[0]
-        parts = []
-        for i in range(0, len(vecs), self.msm_batch):
-            chunk = list(vecs[i:i + self.msm_batch])
-            # pad the batch to a fixed size: the MSM step kernels compile
-            # per (B, C) shape, so a ragged tail batch would recompile them
-            while len(chunk) < self.msm_batch:
-                chunk.append(jnp.zeros((npad, jfield.NLIMB), jnp.uint32))
-            stacked = jnp.stack([
-                jnp.concatenate([v, jnp.zeros((npad - v.shape[0], jfield.NLIMB),
-                                              jnp.uint32)], axis=0)
-                if v.shape[0] < npad else v for v in chunk])
-            plain = JFR.from_mont(stacked)  # MSM wants plain scalar limbs
+        P = self._NARROW_PLANES
+        n_idx, f_idx = [], []
+        for i in range(len(vecs)):
+            b = value_bits[i] if value_bits is not None else None
+            narrow = (b is not None and b <= 8 * P - 1
+                      and blind_start is not None and _use_pallas()
+                      and npad == self.d.n)
+            (n_idx if narrow else f_idx).append(i)
+        parts, groups = [], []   # aligned: partials (B,32,3,16) + idx lists
+        for i in range(0, len(f_idx), self.msm_batch):
+            grp = f_idx[i:i + self.msm_batch]
+            plain = JFR.from_mont(self._stack_batch([vecs[j] for j in grp],
+                                                    npad))
             parts.append(ctx.partials(plain))
+            groups.append([("main", j) for j in grp])
+        if n_idx:
+            c0 = (blind_start // 256) * 256
+            tctx = self._tail_ctx(c0)
+            for i in range(0, len(n_idx), self.msm_batch):
+                grp = n_idx[i:i + self.msm_batch]
+                plain = JFR.from_mont(self._stack_batch(
+                    [vecs[j] for j in grp], npad))
+                main = jax.lax.dynamic_update_slice(
+                    plain, jnp.zeros((plain.shape[0], npad - c0,
+                                      jfield.NLIMB), jnp.uint32), (0, c0, 0))
+                mp = ctx.partials(main, planes=P)
+                parts.append(jnp.pad(
+                    mp, ((0, 0), (0, NUM_WINDOWS - P), (0, 0), (0, 0))))
+                groups.append([("main", j) for j in grp])
+                parts.append(tctx.partials(plain[:, c0:]))
+                groups.append([("tail", j) for j in grp])
         if not parts:
             return []
-        return ctx.finalize(parts)[:len(vecs)]
+        host_pts = ctx.finalize(parts)
+        out = [None] * len(vecs)
+        tails = {}
+        pi = 0
+        for grp in groups:
+            for kind, j in grp:
+                (out if kind == "main" else tails)[j] = host_pts[pi]
+                pi += 1
+            pi += self.msm_batch - len(grp)   # batch padding entries
+        for j, tp in tails.items():
+            a, b = out[j], tp
+            if a is None:
+                out[j] = b
+            elif b is not None:
+                out[j] = G1.add(a, b)
+        return out
 
 
 def make_engine(kind: str, domain: Domain, srs):

@@ -80,6 +80,29 @@ class _PkState:
         self.zh_inv = [
             inv_mod((pow(polyops.part_shift(d, q), n, R) - 1) % R, R)
             for q in range(step)]
+        # fixed/sigma part values are WITNESS-INDEPENDENT: cache them on
+        # first use (u16-packed: limbs are 16-bit, so astype halves the
+        # resident bytes) — they are ~60% of the quotient's part NTTs
+        self._fixed_parts = [None] * step
+        self._sigma_parts = [None] * step
+
+    def _cached_parts(self, eng, q, slot, polys):
+        import jax.numpy as jnp
+        cache = getattr(self, slot)
+        if cache[q] is None:
+            parts = eng.coeff_to_part_stack(polys, q)
+            cache[q] = jnp.stack(parts).astype(jnp.uint16) if parts else ()
+        packed = cache[q]
+        if isinstance(packed, tuple):   # empty family
+            return []
+        wide = packed.astype(jnp.uint32)
+        return [wide[i] for i in range(wide.shape[0])]
+
+    def fixed_parts(self, eng, q):
+        return self._cached_parts(eng, q, "_fixed_parts", self.fixed_polys)
+
+    def sigma_parts(self, eng, q):
+        return self._cached_parts(eng, q, "_sigma_parts", self.sigma_polys)
 
 
 def _get_state(pk: ProvingKey, eng) -> _PkState:
@@ -136,17 +159,22 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     with tr.phase("synthesize"):
         circuit.synthesize(pk.config, asn)
         advice_ints = []
+        advice_bits = []    # pre-blinding value bound -> narrow MSM planes
         for col in asn.advice:
             vals = col.tolist()          # assignment paths keep 0 <= v < R
+            advice_bits.append(max(vals).bit_length())
             for i in range(u, n):
                 vals[i] = _rng_field(rng)
             advice_ints.append(vals)
     with tr.phase("advice_ntt"):
-        advice_values = eng.from_ints_stack(advice_ints, reduced=True)
+        advice_values = eng.from_ints_stack(advice_ints, reduced=True,
+                                            bits=advice_bits, blind_start=u)
         advice_polys = eng.lagrange_to_coeff_stack(advice_values)
     del advice_ints
     with tr.phase("commit_advice"):
-        for p in eng.commit_lagrange_batch(advice_values):
+        for p in eng.commit_lagrange_batch(advice_values,
+                                           value_bits=advice_bits,
+                                           blind_start=u):
             t.write_point(p)
     tr.count("advice_columns", len(advice_values))
 
@@ -189,7 +217,13 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
     eng.check_lookup_fails(lookup_fails)   # one batched device read
     tr_lookups.__exit__(None, None, None)
     with tr.phase("commit_lookup_permuted"):
-        for p in eng.commit_lagrange_batch(lookup_perm_vecs):
+        # A'/S' of a bounded lookup stay within its bound (sorted inputs /
+        # permuted table values) — narrow planes apply
+        perm_bits = [b for lk in cs.lookups
+                     for b in (getattr(lk, "max_bits", None),) * 2]
+        for p in eng.commit_lagrange_batch(lookup_perm_vecs,
+                                           value_bits=perm_bits,
+                                           blind_start=u):
             t.write_point(p)
 
     beta = t.squeeze_challenge()

@@ -264,8 +264,8 @@ def _fold_part_jnp(eng, cs, d, st, srcs, ch, q):
     b = cs.blinding_factors()
     # part values for every column family, one batched scaled-NTT per family
     adv = eng.coeff_to_part_stack(srcs["advice_polys"], q)
-    fix = eng.coeff_to_part_stack(st.fixed_polys, q)
-    sig = eng.coeff_to_part_stack(st.sigma_polys, q)
+    fix = st.fixed_parts(eng, q)     # witness-independent: cached on state
+    sig = st.sigma_parts(eng, q)
     inst = eng.coeff_to_part_stack(srcs["instance_polys"], q)
     zs = eng.coeff_to_part_stack(srcs["z_polys"], q)
     lk_parts = []

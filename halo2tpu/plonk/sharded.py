@@ -142,7 +142,8 @@ class ShardedJaxEngine(JaxEngine):
     def from_ints(self, vals):
         return jax.device_put(super().from_ints(vals), self._row_sh)
 
-    def from_ints_stack(self, cols, reduced=False):
+    def from_ints_stack(self, cols, reduced=False, bits=None,
+                        blind_start=None):
         return [self.from_ints(c) for c in cols]
 
     def permute_lookup_batch(self, comp_ins, comp_tbs, usable, max_bits):
@@ -219,7 +220,9 @@ class ShardedJaxEngine(JaxEngine):
         import os
         return os.environ.get("HALO2TPU_SHARDED_HOST_COMMIT") == "1"
 
-    def _commit(self, ctx, vecs):
+    def _commit(self, ctx, vecs, value_bits=None, blind_start=None):
+        # narrow-plane bucketing is a single-chip JaxEngine optimization;
+        # the sharded fold keeps the uniform bit-serial path
         npad = ctx.points.shape[0]
         fold = min(npad, max(self._ndev, 128))
         parts = []

@@ -28,6 +28,9 @@ def _cpu_test_flags(flags: str) -> str:
 if not _NEEDS_REEXEC:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ["XLA_FLAGS"] = _cpu_test_flags(os.environ.get("XLA_FLAGS", ""))
+    # persistent-cache (de)serialization has segfaulted long XLA:CPU test
+    # sessions (see fields/jfield.py); compile fresh in-suite instead
+    os.environ.setdefault("HALO2TPU_JAX_CACHE", "off")
 
 
 def _reexec(argv) -> "int":
@@ -36,6 +39,7 @@ def _reexec(argv) -> "int":
     env["HALO2TPU_TEST_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = _cpu_test_flags(env.get("XLA_FLAGS", ""))
+    env.setdefault("HALO2TPU_JAX_CACHE", "off")
     pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
           if p and ".axon_site" not in p]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -99,6 +99,12 @@ def test_lookup_circuit_real_proof_engine_parity():
     """Real-prover round-trip of a circuit WITH lookups (range chip), and
     host/jax engine byte parity of the device-resident lookup compression
     + grand-product path (prover.py eval_expr_lagrange)."""
+    import jax
+    # XLA:CPU's compiler segfaults on one of this test's programs when
+    # compiled late in a long suite session (passes in isolation and with
+    # a fresh compiler state); observed at compiler.py
+    # backend_compile_and_load with and without the persistent cache.
+    jax.clear_caches()
     from test_gadgets import RangeHarness
 
     def body(gate, rng):
