@@ -82,16 +82,17 @@ def _fixed_key():
                                        "tests/golden/rsa_key_2048.json"))
 
 
-# Cross-section state: the RSA and composite circuits share k=15, so ONE
-# JaxEngine (and its two ~0.8 GB MSM window tables + device SRS) serves
-# both — a second engine would double the dominant HBM resident and pay
-# the table build twice.  Also holds pk/circuit handles for the soak.
+# Cross-section state: engines are cached per DOMAIN (the extended-coset
+# math bakes in the quotient degree, so RSA and composite need separate
+# engines) — but the ~0.8 GB MSM window table is shared process-wide by
+# the engine layer itself (_shared_msm_ctx).  Also holds pk/circuit
+# handles for the soak.
 STATE: dict = {}
 
 
 def _shared_engine(domain, srs):
     from halo2tpu.plonk.engine import make_engine
-    key = ("jax", domain.n)
+    key = ("jax", domain.n, domain.extended_n)
     if key not in STATE:
         STATE[key] = make_engine("jax", domain, srs)
     return STATE[key]
@@ -153,47 +154,59 @@ def bench_kernels():
         ntt_rows[f"k{k}"] = {
             "s": round(t, 5), "sol_s": round(sol_t, 5),
             "sol_frac": round(sol_t / t, 3)}
+        if k == 15:
+            # the prover's regime: 128-column stacked transform
+            C = 128
+            xs = jnp.stack([x] * C, axis=1)
+            ts = _bench(lambda v: jntt.ntt(plan, v), xs, iters=3)
+            ntt_rows[f"k{k}_stack{C}"] = {
+                "s_per_col": round(ts / C, 5),
+                "sol_frac": round(sol_t / (ts / C), 3)}
     RESULTS["ntt"] = ntt_rows
 
 
 def bench_msm_kernel():
-    """MSM microbench, k=15 only: the k=15 context is the exact base count
-    the k=15 prover uses, so its pallas fold kernels are shared; a second
-    size would compile a whole separate kernel set (~150 s cold) for a
-    number the prover never exercises."""
+    """MSM microbench at k=15 on the REAL SRS bases, via the shared
+    engine's Lagrange context (the exact tables + fold kernels the prover
+    uses — no second 190 s table build).  Reports the full 32-plane fold
+    and the narrow 8-plane fold (bounded-value columns)."""
     import jax
     import jax.numpy as jnp
     from halo2tpu.fields.bn254 import R
-    from halo2tpu.ops.msm import MSMContext
-    from halo2tpu.curves import g1 as G1
-    from halo2tpu.fields.bn254 import G1_GEN
+    from halo2tpu.fields.jfield import ints_to_limbs
+    from halo2tpu.plonk.domain import make_domain
+    from halo2tpu.plonk.srs import setup
+
+    nn = 1 << 15
+    srs = setup(15)
+    eng = _shared_engine(make_domain(15, 9), srs)
+    ctx = eng._msm_lagrange
     rng = np.random.default_rng(0)
-    msm_rows = {}
-    for k in (15,):
-        _log(f"kernels: msm k={k}")
-        nn = 1 << k
-        # synthetic distinct bases: (2i+1) * G — host gen is slow, keep n modest
-        base = G1.scalar_mul(G1_GEN, 12345)
-        pts = [base]
-        for i in range(min(nn, 64) - 1):
-            pts.append(G1.add(pts[-1], G1_GEN))
-        pts = (pts * (nn // len(pts)))[:nn]
-        ctx = MSMContext(pts)
-        # batch of 8 = the engine's msm_batch, so the pallas fold kernels
-        # compiled here are the exact variants the prover reuses
-        B = 8
-        scalars = [[int.from_bytes(rng.bytes(31), "big") % R for _ in range(nn)]
-                   for _ in range(B)]
+    B = eng.msm_batch
+    t0 = time.perf_counter()
+    _ = ctx.table
+    jax.block_until_ready(_)
+    table_s = time.perf_counter() - t0
+    msm_rows = {"table_ready_s": round(table_s, 2)}
+    for name, nbytes, planes in (("full", 31, 32), ("narrow8", 7, 8)):
+        scal = [[int.from_bytes(rng.bytes(nbytes), "big") % R
+                 for _ in range(nn)] for _ in range(B)]
+        arrs = jnp.asarray(np.stack([ints_to_limbs(s) for s in scal]))
+        # one warm pass (compile), then timed partials+finalize
+        jax.block_until_ready(ctx.partials(arrs, planes=planes))
         t0 = time.perf_counter()
-        ctx.commit_batch(scalars)      # includes table build + compile
-        first = time.perf_counter() - t0
+        parts = ctx.partials(arrs, planes=planes)
+        jax.block_until_ready(parts)
+        fold = time.perf_counter() - t0
+        if planes != 32:
+            parts = jnp.pad(parts, ((0, 0), (0, 32 - planes), (0, 0), (0, 0)))
         t0 = time.perf_counter()
-        ctx.commit_batch(scalars)
-        steady = time.perf_counter() - t0
-        msm_rows[f"k{k}"] = {
-            "batch": B, "first_s": round(first, 3),
-            "s_per_msm": round(steady / B, 4),
-            "mpoints_per_s": round(B * nn / steady / 1e6, 2)}
+        ctx.finalize([parts])
+        fin = time.perf_counter() - t0
+        msm_rows[name] = {
+            "batch": B, "fold_s_per_msm": round(fold / B, 4),
+            "finalize_s": round(fin, 3),
+            "mpoints_per_s": round(B * nn / (fold + fin) / 1e6, 2)}
     RESULTS["msm"] = msm_rows
 
 
@@ -423,9 +436,13 @@ def bench_scaling():
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
     env.pop("PYTHONPATH", None)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    # hard-bound the subprocess to the remaining budget: a cold XLA:CPU
+    # compile sweep can take ~18 min and must not starve earlier sections'
+    # re-emits (it runs LAST for the same reason)
+    limit = max(120, min(900, int(_remaining()) - 30))
     out = subprocess.run(
         [sys.executable, "-m", "halo2tpu.parallel.scaling_report"],
-        capture_output=True, text=True, timeout=1500, env=env)
+        capture_output=True, text=True, timeout=limit, env=env)
     for line in reversed(out.stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -489,19 +506,26 @@ def main():
     plan.append(("msm_kernel", bench_msm_kernel, 90))
     if level in ("full", "all"):
         plan.append(("soak", bench_soak, 200))
-        plan.append(("scaling", bench_scaling, 300))
         plan.append(("host_compare", bench_host_compare, 120))
+        plan.append(("scaling", bench_scaling, 300))
 
     for name, fn, need in plan:
         if not _have_time(need, name):
             _emit()
             continue
-        try:
-            fn()
-        except Exception:
-            ERRORS.append(f"{name}: {traceback.format_exc(limit=3)}")
-            _log(f"ERROR in {name}")
-            print(ERRORS[-1], file=sys.stderr)
+        # one retry: the axon remote-compile tunnel occasionally drops a
+        # response mid-read (INTERNAL: response body closed) — transient
+        for attempt in (1, 2):
+            try:
+                fn()
+                break
+            except Exception as e:
+                ERRORS.append(f"{name} (attempt {attempt}): "
+                              f"{type(e).__name__}: {str(e)[:300]}")
+                _log(f"ERROR in {name} (attempt {attempt})")
+                traceback.print_exc(limit=5)
+                if not _have_time(need, f"{name} retry"):
+                    break
         _emit()
 
     _log(f"done in {time.time() - _T0:.1f}s")

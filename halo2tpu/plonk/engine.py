@@ -690,12 +690,27 @@ def _permute_lookup_narrow_jit(u: int, a_plain, t_plain, max_bits: int):
     return ap16, sp16, fail | toowide
 
 
+_MSM_CTX_CACHE: dict = {}
+
+
+def _shared_msm_ctx(srs, n: int, tag: str) -> MSMContext:
+    key = (tag, n)
+    if key not in _MSM_CTX_CACHE:
+        _MSM_CTX_CACHE[key] = MSMContext(
+            srs.g_lagrange[:n], cache_tag=f"lag{n}_{tag}")
+    return _MSM_CTX_CACHE[key]
+
+
 class JaxEngine:
     """TPU engine: vectors are (n, 16) uint32 Montgomery limb arrays."""
 
     name = "jax"
     jnp_backed = True
-    stack_chunk = 64        # columns per batched-NTT pass (bounds transients)
+    # columns per batched-NTT pass: measured per-column cost on v5e is
+    # 25 ms (C=1) / 2.2 ms (C=64) / 1.37 ms (C=128, plateau) — the stage
+    # ops need wide minor dims to fill VPU lanes; 128 bounds the
+    # mont_mul transients to ~0.8 GB
+    stack_chunk = 128
 
     def __init__(self, domain: Domain, srs, msm_batch: int = 8):
         self.d = domain
@@ -707,9 +722,11 @@ class JaxEngine:
         # Lagrange bases as commit_G(coeffs) == commit_Glag(NTT(coeffs))
         # (same polynomial, change of basis) — the second 256-entry window
         # table would cost another ~0.8 GB HBM and ~220 s cold build for a
-        # handful of h-chunk/random-poly commits per proof.
-        self._msm_lagrange = MSMContext(
-            srs.g_lagrange[:d.n], cache_tag=f"lag{d.n}_{self._srs_tag(srs)}")
+        # handful of h-chunk/random-poly commits per proof.  Contexts are
+        # shared PROCESS-WIDE by (srs, n): engines are per-domain-degree
+        # (the extended/coset math bakes in quotient_poly_degree), but the
+        # ~0.8 GB window table is degree-independent.
+        self._msm_lagrange = _shared_msm_ctx(srs, d.n, self._srs_tag(srs))
         self._pow_cache = {}
         self._scalar_cache = {}
         self._part_scale_cache = {}
@@ -1215,14 +1232,13 @@ class JaxEngine:
 
     def _tail_ctx(self, c0: int) -> MSMContext:
         """MSM context over the last (n - c0) Lagrange bases — the
-        full-width fold for blinding-tail rows of narrow columns."""
-        key = ("tail", c0)
-        ctx = getattr(self, "_tail_ctxs", None)
-        if ctx is None:
-            ctx = self._tail_ctxs = {}
-        if key not in ctx:
-            ctx[key] = MSMContext(self.srs.g_lagrange[c0:self.d.n])
-        return ctx[key]
+        full-width fold for blinding-tail rows of narrow columns.
+        Process-wide cache (same rationale as _shared_msm_ctx)."""
+        key = (self._srs_tag(self.srs), "tail", c0, self.d.n)
+        if key not in _MSM_CTX_CACHE:
+            _MSM_CTX_CACHE[key] = MSMContext(
+                self.srs.g_lagrange[c0:self.d.n])
+        return _MSM_CTX_CACHE[key]
 
     def _commit(self, ctx: MSMContext, vecs, value_bits=None,
                 blind_start=None):

@@ -82,16 +82,30 @@ class _PkState:
             for q in range(step)]
         # fixed/sigma part values are WITNESS-INDEPENDENT: cache them on
         # first use (u16-packed: limbs are 16-bit, so astype halves the
-        # resident bytes) — they are ~60% of the quotient's part NTTs
+        # resident bytes) — they are ~60% of the quotient's part NTTs.
+        # BUDGETED: a very wide circuit (composite: ~500 fixed+sigma cols
+        # x 8 parts = 4 GB even at u16) caching everything pushes the
+        # device into allocator thrash; parts beyond the budget recompute.
+        import os as _os
         self._fixed_parts = [None] * step
         self._sigma_parts = [None] * step
+        self._parts_budget = int(_os.environ.get(
+            "HALO2TPU_PARTS_CACHE_MB", "1200")) << 20
 
     def _cached_parts(self, eng, q, slot, polys):
         import jax.numpy as jnp
         cache = getattr(self, slot)
         if cache[q] is None:
             parts = eng.coeff_to_part_stack(polys, q)
-            cache[q] = jnp.stack(parts).astype(jnp.uint16) if parts else ()
+            if not parts:
+                cache[q] = ()
+                return []
+            est = sum(p.nbytes for p in parts) // 2   # u16-packed size
+            if est <= self._parts_budget:
+                cache[q] = jnp.stack(parts).astype(jnp.uint16)
+                self._parts_budget -= est
+            else:
+                return parts            # over budget: recompute next proof
         packed = cache[q]
         if isinstance(packed, tuple):   # empty family
             return []
@@ -132,6 +146,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances: list[list[int]],
         eng = make_engine(engine, d, srs)
     else:
         eng = engine
+    assert eng.d.n == d.n and eng.d.extended_n == d.extended_n, (
+        "engine domain mismatch: engines bake in the quotient degree "
+        f"(engine extended_n={eng.d.extended_n}, pk={d.extended_n}) — "
+        "make one engine per circuit domain (MSM tables are shared "
+        "process-wide regardless)")
     st = _get_state(pk, eng)
 
     t = ProofWriter()
