@@ -706,11 +706,11 @@ class JaxEngine:
 
     name = "jax"
     jnp_backed = True
-    # columns per batched-NTT pass: measured per-column cost on v5e is
-    # 25 ms (C=1) / 2.2 ms (C=64) / 1.37 ms (C=128, plateau) — the stage
-    # ops need wide minor dims to fill VPU lanes; 128 bounds the
-    # mont_mul transients to ~0.8 GB
-    stack_chunk = 128
+    # columns per batched-NTT pass: per-column cost on v5e is 25 ms
+    # (C=1) / 2.2 ms (C=64) / 1.37 ms (C=128) — but C=128's transients
+    # push the WIDE composite circuit (plus its quotient-part cache) into
+    # allocator thrash (warm proof 33 s -> 42 s measured), so 64 it is
+    stack_chunk = 64
 
     def __init__(self, domain: Domain, srs, msm_batch: int = 8):
         self.d = domain

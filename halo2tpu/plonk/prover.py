@@ -90,7 +90,7 @@ class _PkState:
         self._fixed_parts = [None] * step
         self._sigma_parts = [None] * step
         self._parts_budget = int(_os.environ.get(
-            "HALO2TPU_PARTS_CACHE_MB", "1200")) << 20
+            "HALO2TPU_PARTS_CACHE_MB", "4600")) << 20
 
     def _cached_parts(self, eng, q, slot, polys):
         import jax.numpy as jnp
